@@ -1,0 +1,23 @@
+"""parquet_main_spark — a PySpark-native per-column lightweight-compression engine.
+
+Brand-new implementation (not a port) with the capabilities of the reference
+Java fork of the Apache Parquet column layer (harperjiang/parquet-main):
+
+- per-column lightweight codecs: dictionary (order-preserving, sorted),
+  RLE/bit-packed hybrid, frame-of-reference + bit-packing (the reference's
+  VARLEN_BIT_PACKED), delta, FSST-style string compression, plain
+  (reference inventory: SURVEY.md §2.2, e.g.
+  values/vbp/VarlenBitPackingValuesWriter.java:31-131,
+  values/dictionary/OnePassOrderPreservingDictionaryValuesWriter.java:22-269)
+- codec auto-selection from sampled statistics
+  (EncValuesWriterFactory.java:48-227 analog)
+- block-level zone-map pruning and dictionary predicate translation
+  (impl/SkippingColumnReaderImpl.java:64-1043, column/Dictionary.java:107-132
+  analogs)
+- partition-parallel encode with per-bucket lineage/checkpoint + resume
+
+All kernels are vectorized numpy/Arrow inside pandas UDFs — never per-row
+Python in the hot path.
+"""
+
+__version__ = "0.1.0"

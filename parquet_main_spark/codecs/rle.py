@@ -1,0 +1,116 @@
+"""RLE / bit-packed hybrid codec for unsigned ids (vectorized numpy).
+
+The analog of parquet's RunLengthBitPackingHybrid grammar as used by the
+reference for dictionary ids, levels and booleans (reference:
+src/main/java/org/apache/parquet/column/values/rle/
+RunLengthBitPackingHybridDecoder.java:101-121 grammar;
+skip arithmetic :127-159). Our grammar differs in one way: a bit-packed run's
+header carries the exact VALUE count (not a count of 8-value groups), so no
+mid-stream padding ambiguity exists.
+
+Layout::
+
+    u8  width                      # bits per value (0 => all zeros)
+    u32 n                          # total value count
+    repeated segments:
+        varint header
+          header & 1 == 0: RLE run   — count = header >> 1,
+                                       value in ceil(width/8) bytes LE
+          header & 1 == 1: packed run — count = header >> 1,
+                                       ceil(count*width/8) packed bytes
+
+Encoder strategy (whole-array, no per-value Python): run boundaries via
+np.diff; runs >= MIN_RLE_RUN become RLE segments, maximal stretches of
+shorter runs are fused into one bit-packed segment.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .bitpack import pack_bits, unpack_bits
+
+MIN_RLE_RUN = 8
+
+
+def _varint(x: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = x & 0x7F
+        x >>= 7
+        if x:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
+    x = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        x |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return x, pos
+        shift += 7
+
+
+def encode(values: np.ndarray, width: int) -> bytes:
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    vbytes = (width + 7) // 8
+    out = [struct.pack("<BI", width, n)]
+    if n == 0 or width == 0:
+        return b"".join(out)
+    # run-length decomposition (vectorized)
+    change = np.flatnonzero(v[1:] != v[:-1])
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [n]))
+    lengths = ends - starts
+    is_rle = lengths >= MIN_RLE_RUN
+    i = 0
+    nruns = len(starts)
+    while i < nruns:
+        if is_rle[i]:
+            out.append(_varint(int(lengths[i]) << 1))
+            out.append(int(v[starts[i]]).to_bytes(vbytes, "little"))
+            i += 1
+        else:
+            j = i
+            while j < nruns and not is_rle[j]:
+                j += 1
+            s, e = int(starts[i]), int(ends[j - 1])
+            cnt = e - s
+            out.append(_varint((cnt << 1) | 1))
+            out.append(pack_bits(v[s:e], width))
+            i = j
+    return b"".join(out)
+
+
+def decode(buf: bytes | memoryview) -> np.ndarray:
+    buf = memoryview(buf)
+    width, n = struct.unpack_from("<BI", buf, 0)
+    pos = 5
+    out = np.empty(n, dtype=np.uint64)
+    if width == 0:
+        out[:] = 0
+        return out
+    vbytes = (width + 7) // 8
+    done = 0
+    while done < n:
+        header, pos = _read_varint(buf, pos)
+        cnt = header >> 1
+        if header & 1:
+            nbytes = (cnt * width + 7) // 8
+            out[done : done + cnt] = unpack_bits(buf[pos : pos + nbytes], cnt, width)
+            pos += nbytes
+        else:
+            value = int.from_bytes(buf[pos : pos + vbytes], "little")
+            pos += vbytes
+            out[done : done + cnt] = value
+        done += cnt
+    return out

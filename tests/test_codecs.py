@@ -1,0 +1,154 @@
+"""Per-codec round-trip tests on deterministic arrays (FIXTURES.md F2 / §5).
+
+Mirrors the reference's codec unit-test strategy (SURVEY.md §5: round-trip +
+layout-level assertions, e.g. VarlenBitPackingValuesReaderTest.java:21-73
+1M-value random round-trip) — fixtures: sequential, constant, runs, zipf,
+seeded-random, empty, single value, 512/513 group boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from parquet_main_spark.codecs import (
+    APPLICABLE,
+    decode_block,
+    encode_block,
+)
+from parquet_main_spark.codecs import bitpack, delta, dict_codec, forpack, fsst, plain, rle
+
+RNG = np.random.default_rng(42)
+
+INT_FIXTURES = {
+    "empty": np.empty(0, dtype=np.int64),
+    "one": np.array([7], dtype=np.int64),
+    "sequential": np.arange(50_000, dtype=np.int64),
+    "constant": np.full(10_000, 123, dtype=np.int64),
+    "runs": np.repeat(RNG.integers(0, 100, 500), RNG.integers(1, 40, 500)).astype(np.int64),
+    "zipf": RNG.zipf(1.5, 20_000).astype(np.int64),
+    "random": RNG.integers(-(2**40), 2**40, 65_536).astype(np.int64),
+    "negatives": np.array([-5, -1, 0, 3, -(2**31)], dtype=np.int64),
+    "group_511": np.arange(511, dtype=np.int64),
+    "group_512": np.arange(512, dtype=np.int64),
+    "group_513": np.arange(513, dtype=np.int64),
+}
+
+
+@pytest.mark.parametrize("width", [0, 1, 3, 7, 8, 13, 31, 40, 63])
+def test_bitpack_roundtrip(width):
+    n = 1000
+    vals = RNG.integers(0, 2**width if width else 1, n, dtype=np.uint64)
+    packed = bitpack.pack_bits(vals, width)
+    out = bitpack.unpack_bits(packed, n, width)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_zigzag():
+    v = np.array([0, -1, 1, -2, 2, 2**62, -(2**62)], dtype=np.int64)
+    np.testing.assert_array_equal(bitpack.zigzag_decode(bitpack.zigzag_encode(v)), v)
+
+
+@pytest.mark.parametrize("name", list(INT_FIXTURES))
+def test_forpack_roundtrip(name):
+    v = INT_FIXTURES[name]
+    np.testing.assert_array_equal(forpack.decode(forpack.encode(v)), v)
+
+
+@pytest.mark.parametrize("name", ["empty", "one", "sequential", "runs", "group_513"])
+def test_delta_roundtrip(name):
+    v = INT_FIXTURES[name]
+    np.testing.assert_array_equal(delta.decode(delta.encode(v)), v)
+
+
+def test_delta_sorted_gaps():
+    v = np.cumsum(RNG.integers(0, 1000, 100_000)).astype(np.int64)
+    enc = delta.encode(v)
+    assert len(enc) < v.nbytes / 4  # sorted data should pack tightly
+    np.testing.assert_array_equal(delta.decode(enc), v)
+
+
+@pytest.mark.parametrize("width", [1, 4, 11, 20])
+def test_rle_roundtrip(width):
+    for name in ["empty", "one", "constant", "runs", "sequential"]:
+        v = np.abs(INT_FIXTURES[name]) % (2**width)
+        enc = rle.encode(v.astype(np.uint64), width)
+        np.testing.assert_array_equal(rle.decode(enc), v.astype(np.uint64))
+
+
+def test_rle_compresses_runs():
+    v = np.repeat(np.arange(50, dtype=np.uint64), 1000)
+    assert len(rle.encode(v, 6)) < 600  # 50 runs * ~12B
+
+
+STR_FIXTURES = {
+    "empty": np.array([], dtype=object),
+    "one": np.array(["hello"], dtype=object),
+    "langs": np.array((["en"] * 45 + ["de", "fr", "zh", ""] * 5), dtype=object),
+    "urls": np.array([f"https://host{i % 97}.example.com/p/{i:x}" for i in range(5000)], dtype=object),
+    "unicode": np.array(["héllo", "wörld", "日本語", "", "a" * 300], dtype=object),
+}
+
+
+@pytest.mark.parametrize("name", list(STR_FIXTURES))
+def test_plain_var_roundtrip(name):
+    v = STR_FIXTURES[name]
+    np.testing.assert_array_equal(plain.decode_var(plain.encode_var(v)), v)
+
+
+@pytest.mark.parametrize("name", list(STR_FIXTURES))
+def test_fsst_roundtrip(name):
+    v = STR_FIXTURES[name]
+    np.testing.assert_array_equal(fsst.decode(fsst.encode(v)), v)
+
+
+def test_fsst_compresses_text():
+    words = np.array(["the quick brown fox jumps over the lazy dog " * 8] * 500, dtype=object)
+    enc = fsst.encode(words)
+    raw = sum(len(w.encode()) for w in words)
+    assert len(enc) < raw * 0.6
+    np.testing.assert_array_equal(fsst.decode(enc), words)
+
+
+def test_fsst_all_bytes_fallback():
+    blob = bytes(range(256)) * 4
+    v = np.array([blob], dtype=object)
+    enc = fsst.encode(v, binary=True)
+    np.testing.assert_array_equal(fsst.decode(enc, binary=True), v)
+
+
+def test_dict_sorted_and_roundtrip():
+    v = np.array(["b", "a", "c", "a", "b", "b"], dtype=object)
+    ids, blob = dict_codec.build(v, dict_codec.KIND_UTF8)
+    d = dict_codec.load_dict(blob)
+    np.testing.assert_array_equal(d, np.array(["a", "b", "c"], dtype=object))  # order-preserving
+    np.testing.assert_array_equal(dict_codec.decode(ids, blob), v)
+
+
+def test_dict_predicate_translation():
+    d = np.array(["aa", "bb", "cc", "dd"], dtype=object)
+    assert dict_codec.translate_range(d, "bb", "cc") == (1, 3)
+    assert dict_codec.translate_range(d, None, "ba") == (0, 1)
+    np.testing.assert_array_equal(dict_codec.translate_isin(d, ["cc", "zz", "aa"]), [0, 2])
+
+
+@pytest.mark.parametrize("lt,codecs", list(APPLICABLE.items()))
+def test_encode_block_all_codecs(lt, codecs):
+    if lt in ("int32", "int64"):
+        vals = INT_FIXTURES["runs"].astype(np.int64 if lt == "int64" else np.int32)
+    elif lt == "timestamp":
+        vals = np.cumsum(RNG.integers(0, 10**6, 5000)).astype(np.int64)
+    elif lt == "bool":
+        vals = (INT_FIXTURES["runs"][:5000] % 2).astype(bool)
+    elif lt in ("float32", "float64"):
+        vals = RNG.normal(size=5000).astype(lt)
+    elif lt == "string":
+        vals = STR_FIXTURES["urls"]
+    else:
+        vals = np.array([b"\x00\xffbin" * i for i in range(200)], dtype=object)
+    for codec in codecs:
+        data, blob, params = encode_block(vals, lt, codec)
+        out = decode_block(data, blob, lt, codec, params)
+        np.testing.assert_array_equal(out, vals, err_msg=f"{lt}/{codec}")
+        if lt not in ("string", "binary"):
+            assert out.dtype == vals.dtype, f"{lt}/{codec}: {out.dtype}"
