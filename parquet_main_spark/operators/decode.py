@@ -1,0 +1,238 @@
+"""Scan path: block pruning, in-situ dictionary predicates, vectorized decode.
+
+The read side of the engine — the Spark-native re-expression of the
+reference's skipping scan (SURVEY.md §3.3):
+
+- page/zone-map skipping (SkippingColumnReaderImpl.java:735-771, pages failing
+  the stats predicate dropped undecompressed) -> a DataFrame filter on the
+  block-stats columns BEFORE any block blob is decoded; surviving
+  (bucket, block_id) pairs semi-join the other columns' blocks;
+- dictionary predicate translation / in-situ query
+  (column/Dictionary.java:107-132; order-preserving range ids
+  OnePassOrderPreservingDictionary.java:82-98) -> predicates on dict-coded
+  blocks are evaluated once against the tiny sorted dictionary via
+  np.searchsorted and become integer comparisons on the decoded ids,
+  never materializing the strings;
+- record skipping (ForwardIterator, SkippingColumnReaderImpl.java:684-708) ->
+  a boolean selection mask applied to all columns of the block.
+
+Scale design: pruning is a metadata-only DataFrame op (the blocks table's
+stats columns are a zone map); only surviving blobs cross into the decode
+UDF. Column pruning = not reading the other cols' block rows at all
+(parquet scan of the blocks table pushes the ``col IN (...)`` filter down).
+"""
+
+from __future__ import annotations
+
+import operator
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..codecs import decode_block, params_loads
+from ..codecs import dict_codec
+from ..functions.arrow import SPARK_FROM_LOGICAL, dense_to_arrow, unpack_validity
+from .encode import read_meta
+
+_OPS = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+        "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+
+
+@dataclass
+class Predicate:
+    """Single-column comparison pushed into the scan.
+
+    op in {=, !=, <, <=, >, >=, between, isin}; value is a scalar,
+    (lo, hi) for between, or a list for isin. Timestamps: int micros.
+    """
+
+    col: str
+    op: str
+    value: Any
+
+
+def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{out_dir}/blocks")
+
+
+def _stat_cols(lt: str) -> tuple[str, str]:
+    if lt in ("int32", "int64", "timestamp", "bool"):
+        return "min_int", "max_int"
+    if lt in ("float32", "float64"):
+        return "min_num", "max_num"
+    return "min_str", "max_str"
+
+
+def prune_filter(pred: Predicate, lt: str):
+    """Zone-map retention condition for blocks of pred.col (conservative:
+    True = block may contain matches). All-null blocks have null stats and
+    are dropped for comparison predicates (SQL null semantics)."""
+    lo, hi = [F.col(c) for c in _stat_cols(lt)]
+    v = pred.value
+    if pred.op == "=":
+        return (lo <= F.lit(v)) & (hi >= F.lit(v))
+    if pred.op == "<":
+        return lo < F.lit(v)
+    if pred.op == "<=":
+        return lo <= F.lit(v)
+    if pred.op == ">":
+        return hi > F.lit(v)
+    if pred.op == ">=":
+        return hi >= F.lit(v)
+    if pred.op == "between":
+        a, b = v
+        return (hi >= F.lit(a)) & (lo <= F.lit(b))
+    if pred.op == "isin":
+        conds = [(lo <= F.lit(x)) & (hi >= F.lit(x)) for x in v]
+        out = conds[0]
+        for c in conds[1:]:
+            out = out | c
+        return out
+    if pred.op == "!=":
+        return ~((lo == F.lit(v)) & (hi == F.lit(v)))
+    raise ValueError(f"unknown predicate op {pred.op!r}")
+
+
+def _mask_from_ids(ids: np.ndarray, sorted_dict: np.ndarray, pred: Predicate) -> np.ndarray:
+    """In-situ predicate: compare integer ids only (Q5/Q6 analog)."""
+    if pred.op == "isin":
+        return np.isin(ids, dict_codec.translate_isin(sorted_dict, pred.value))
+    if pred.op == "=":
+        a, b = dict_codec.translate_range(sorted_dict, pred.value, pred.value)
+        return (ids >= a) & (ids < b)
+    if pred.op == "!=":
+        a, b = dict_codec.translate_range(sorted_dict, pred.value, pred.value)
+        return ~((ids >= a) & (ids < b))
+    if pred.op == "between":
+        a, b = dict_codec.translate_range(sorted_dict, pred.value[0], pred.value[1])
+        return (ids >= a) & (ids < b)
+    if pred.op == "<":
+        a, _ = dict_codec.translate_range(sorted_dict, pred.value, None)
+        return ids < a
+    if pred.op == "<=":
+        _, b = dict_codec.translate_range(sorted_dict, None, pred.value)
+        return ids < b
+    if pred.op == ">":
+        _, b = dict_codec.translate_range(sorted_dict, None, pred.value)
+        return ids >= b
+    if pred.op == ">=":
+        a, _ = dict_codec.translate_range(sorted_dict, pred.value, None)
+        return ids >= a
+    raise ValueError(pred.op)
+
+
+def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
+    if pred.op == "isin":
+        return np.isin(vals, np.asarray(pred.value))
+    if pred.op == "between":
+        return (vals >= pred.value[0]) & (vals <= pred.value[1])
+    return _OPS[pred.op](vals, pred.value)
+
+
+def _decode_group(
+    logical: dict[str, str],
+    columns: list[str],
+    pred: Predicate | None,
+    count_only: bool,
+    key,
+    tbl: pa.Table,
+) -> pa.Table:
+    by_col = {tbl.column("col")[i].as_py(): i for i in range(tbl.num_rows)}
+    n = tbl.column("n")[0].as_py()
+
+    mask = None  # row-selection mask (record-skipping analog)
+    if pred is not None:
+        i = by_col[pred.col]
+        row = {name: tbl.column(name)[i].as_py() for name in
+               ("codec", "params", "validity", "data", "dict", "null_count")}
+        lt = logical[pred.col]
+        validity = unpack_validity(row["validity"], n)
+        if row["codec"] == "dict":
+            ids = dict_codec.decode_ids(row["data"])
+            sorted_dict = dict_codec.load_dict(row["dict"])
+            dense_mask = _mask_from_ids(ids, sorted_dict, pred)
+        else:
+            vals = decode_block(row["data"], row["dict"], lt, row["codec"], params_loads(row["params"]))
+            if lt == "string":
+                vals = vals.astype(object) if vals.dtype != object else vals
+            dense_mask = _mask_from_values(vals, pred)
+        if validity is None:
+            mask = dense_mask
+        else:
+            mask = np.zeros(n, dtype=bool)
+            mask[validity] = dense_mask  # nulls never match
+        if not mask.any():
+            return pa.table({c: pa.array([], type=_pa_type(logical[c])) for c in columns})
+
+    arrays = {}
+    for col in columns:
+        i = by_col[col]
+        lt = logical[col]
+        codec = tbl.column("codec")[i].as_py()
+        data = tbl.column("data")[i].as_py()
+        dict_blob = tbl.column("dict")[i].as_py()
+        params = params_loads(tbl.column("params")[i].as_py())
+        validity = unpack_validity(tbl.column("validity")[i].as_py(), n)
+        vals = decode_block(data, dict_blob, lt, codec, params)
+        arr = dense_to_arrow(vals, validity, lt)
+        if mask is not None:
+            arr = arr.filter(pa.array(mask))
+        arrays[col] = arr
+    return pa.table(arrays)
+
+
+def _pa_type(lt: str):
+    from ..functions.arrow import _PA_FROM_LOGICAL
+
+    return _PA_FROM_LOGICAL[lt]
+
+
+def scan(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str] | None = None,
+    predicate: Predicate | None = None,
+) -> DataFrame:
+    """Decode the encoded table back to rows, with block pruning + optional
+    pushed predicate. Row order is not defined (Spark semantics)."""
+    meta = read_meta(spark, out_dir)
+    logical: dict[str, str] = meta["logical"]
+    if columns is None:
+        columns = list(logical)
+    blocks = read_blocks(spark, out_dir)
+
+    needed = set(columns) | ({predicate.col} if predicate else set())
+    blocks = blocks.filter(F.col("col").isin(*needed))  # column pruning, pushed to parquet
+
+    if predicate is not None:
+        lt = logical[predicate.col]
+        surviving = (
+            blocks.filter(F.col("col") == predicate.col)
+            .filter(prune_filter(predicate, lt))
+            .select("bucket", "block_id")
+        )
+        blocks = blocks.join(surviving, ["bucket", "block_id"], "left_semi")
+
+    out_schema = ", ".join(f"`{c}` {SPARK_FROM_LOGICAL[logical[c]]}" for c in columns)
+    cols, pred = list(columns), predicate
+
+    def decode_fn(key, tbl):
+        return _decode_group(logical, cols, pred, False, key, tbl)
+
+    return blocks.groupBy("bucket", "block_id").applyInArrow(decode_fn, out_schema)
+
+
+def pruning_report(spark: SparkSession, out_dir: str, predicate: Predicate) -> dict[str, int]:
+    """How many blocks the zone map eliminated (page-skip observability,
+    the reference's skipped-page accounting analog)."""
+    meta = read_meta(spark, out_dir)
+    lt = meta["logical"][predicate.col]
+    col_blocks = read_blocks(spark, out_dir).filter(F.col("col") == predicate.col)
+    total = col_blocks.count()
+    kept = col_blocks.filter(prune_filter(predicate, lt)).count()
+    return {"total_blocks": total, "kept_blocks": kept, "pruned_blocks": total - kept}

@@ -1,0 +1,368 @@
+"""Partition-parallel encode job: DataFrame -> encoded block tables.
+
+The write path of the engine — the Spark-native re-expression of the
+reference's encode lifecycle (SURVEY.md §3.1): stats pre-scan
+(ParquetWriterHelper.java:60-100) becomes a sampled mapInArrow stats job;
+the ThreadLocal EncContext decision channel (EncContext.java:30-43) becomes
+an explicit broadcast plan; ColumnWriterV1's page flush + per-page stats
+(ColumnWriterV1.java:89-159) become fixed-size blocks emitted by a
+groupBy(bucket).applyInArrow encode UDF; footer extrameta persistence
+(StringWriteSupport.java:111-122) becomes the lineage/checkpoint table.
+
+Scale design: buckets are url-hash ranges (north rule), so the only shuffle
+is the single hash-repartition by bucket; encode itself is embarrassingly
+parallel per bucket; blocks are written with dynamic partition overwrite so
+bucket writes are idempotent (exactly-once under retry/speculation); lineage
+rows let an interrupted run resume by anti-joining completed buckets.
+At 10^12 docs you raise ``buckets`` (e.g. 2**16) so each bucket fits an
+executor; nothing else changes.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..codecs import APPLICABLE, encode_block, params_dumps
+from ..functions.arrow import arrow_to_dense, canonical_sha, logical_types, pack_validity
+from ..plans.selector import choose_codec, column_sample_stats
+
+BLOCKS_SCHEMA = (
+    "bucket int, block_id int, col string, codec string, params string, "
+    "n bigint, null_count bigint, validity binary, data binary, dict binary, "
+    "min_int bigint, max_int bigint, min_num double, max_num double, "
+    "min_str string, max_str string, raw_bytes bigint, enc_bytes bigint, sha256 string"
+)
+
+STATS_SCHEMA = "col string, stats string"
+
+
+@dataclass
+class EncodeConfig:
+    out_dir: str
+    bucket_key: str = "url"
+    buckets: int = 32
+    block_size: int = 65536
+    order_by: list[str] | None = None  # intra-bucket deterministic sort keys
+    sample_fraction: float = 0.05
+    snapshot_id: str = "snap-0"
+    plan_override: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass
+class EncodeResult:
+    blocks_path: str
+    lineage_path: str
+    plan: dict[str, str]
+    encoded_buckets: int
+    resumed_buckets: int
+
+
+# ---------------------------------------------------------------- stats pass
+
+def _stats_fn(logical: dict[str, str], it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    batches = list(it)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    if tbl.num_rows == 0:
+        return
+    rows_col, rows_js = [], []
+    for col, lt in logical.items():
+        if col not in tbl.column_names:
+            continue
+        vals, _ = arrow_to_dense(tbl.column(col), lt)
+        st = column_sample_stats(vals, lt)
+        rows_col.append(col)
+        rows_js.append(json.dumps(st))
+    yield pa.RecordBatch.from_pydict({"col": rows_col, "stats": rows_js})
+
+
+def _merge_stats(parts: list[dict]) -> dict:
+    """Merge per-partition sample stats (weighted by sample size); union
+    cardinality from the mergeable KMV sketches."""
+    from ..plans.selector import kmv_estimate
+
+    tot = sum(p["n"] for p in parts)
+    if tot == 0:
+        return parts[0]
+    out = dict(parts[0])
+    out["n"] = tot
+    out["card"] = min(tot, kmv_estimate([p.get("kmv", []) for p in parts]))
+    out["raw_bytes"] = sum(p.get("raw_bytes", 0) for p in parts)
+    for k in ("avg_run", "sorted_frac", "fsst_ratio", "avg_len", "avg_uniq_len"):
+        vals = [(p[k], p["n"]) for p in parts if k in p]
+        if vals:
+            out[k] = sum(v * w for v, w in vals) / sum(w for _, w in vals)
+    if "avg_uniq_len" in out:
+        out["dict_bytes"] = out["avg_uniq_len"] * out["card"]
+    for k in ("span_bits", "delta_bits"):
+        vals = [p[k] for p in parts if k in p]
+        if vals:
+            out[k] = max(vals)
+    return out
+
+
+def sample_plan(df: DataFrame, cfg: EncodeConfig) -> dict[str, str]:
+    """Sampled-statistics codec selection (north rule): one vectorized Arrow
+    pass over a sample, merged on the driver, ruled by the selector."""
+    logical = logical_types(df.schema)
+    sample = df.sample(fraction=min(1.0, cfg.sample_fraction), seed=42)
+    stats_df = sample.mapInArrow(partial(_stats_fn, logical), STATS_SCHEMA)
+    by_col: dict[str, list[dict]] = {}
+    for row in stats_df.collect():
+        by_col.setdefault(row["col"], []).append(json.loads(row["stats"]))
+    plan = {}
+    for col, lt in logical.items():
+        if col in cfg.plan_override:
+            plan[col] = cfg.plan_override[col]
+        elif col in by_col:
+            plan[col] = choose_codec(_merge_stats(by_col[col]))
+        else:
+            plan[col] = "plain"
+    return plan
+
+
+# --------------------------------------------------------------- encode pass
+
+def _encode_with_fallback(vals: np.ndarray, lt: str, preferred: str, raw_bytes: int):
+    """Try the planned codec; on error or non-compressing output walk the
+    APPLICABLE chain (dictionary fallback-to-plain analog,
+    DictionaryValuesWriter.java:119-142)."""
+    chain = [preferred] + [c for c in APPLICABLE[lt] if c != preferred]
+    last = None
+    for codec in chain:
+        try:
+            data, dict_blob, params = encode_block(vals, lt, codec)
+        except Exception:
+            continue
+        enc = len(data) + (len(dict_blob) if dict_blob else 0)
+        last = (codec, data, dict_blob, params, enc)
+        if codec == "plain" or enc < raw_bytes:
+            return last
+    if last is None:
+        raise RuntimeError(f"no codec could encode type {lt}")
+    return last
+
+
+def _block_stats(vals: np.ndarray, lt: str):
+    """Typed per-block min/max (the per-page Statistics analog,
+    ColumnWriterV1.java:113-139) -> (min_int, max_int, min_num, max_num, min_str, max_str)."""
+    mi = ma = mn = mx = ms = xs = None
+    if len(vals):
+        if lt in ("int32", "int64", "timestamp"):
+            mi, ma = int(vals.min()), int(vals.max())
+        elif lt in ("float32", "float64"):
+            mn, mx = float(vals.min()), float(vals.max())
+        elif lt == "bool":
+            mi, ma = int(vals.min()), int(vals.max())
+        elif lt == "string":
+            ms, xs = str(min(vals)), str(max(vals))
+    return mi, ma, mn, mx, ms, xs
+
+
+def _encode_group(
+    logical: dict[str, str],
+    plan: dict[str, str],
+    block_size: int,
+    order_by: list[str],
+    key,
+    tbl: pa.Table,
+) -> pa.Table:
+    bucket = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+    tbl = tbl.sort_by([(c, "ascending") for c in order_by])
+    cols = [c for c in tbl.column_names if c != "_bucket"]
+    n_rows = tbl.num_rows
+    out: dict[str, list] = {k: [] for k in (
+        "bucket block_id col codec params n null_count validity data dict "
+        "min_int max_int min_num max_num min_str max_str raw_bytes enc_bytes sha256".split()
+    )}
+    for block_id, start in enumerate(range(0, n_rows, block_size)):
+        chunk = tbl.slice(start, block_size)
+        for col in cols:
+            lt = logical[col]
+            vals, mask = arrow_to_dense(chunk.column(col), lt)
+            if lt in ("string", "binary"):
+                raw = int(sum(len(s.encode() if isinstance(s, str) else s) for s in vals)) + 4 * len(vals)
+            else:
+                raw = int(np.ascontiguousarray(vals).nbytes)
+            codec, data, dict_blob, params, enc = _encode_with_fallback(vals, lt, plan.get(col, "plain"), raw)
+            mi, ma, mn, mx, ms, xs = _block_stats(vals, lt)
+            out["bucket"].append(bucket)
+            out["block_id"].append(block_id)
+            out["col"].append(col)
+            out["codec"].append(codec)
+            out["params"].append(params_dumps(params))
+            out["n"].append(chunk.num_rows)
+            out["null_count"].append(chunk.num_rows - len(vals))
+            out["validity"].append(pack_validity(mask))
+            out["data"].append(data)
+            out["dict"].append(dict_blob)
+            out["min_int"].append(mi)
+            out["max_int"].append(ma)
+            out["min_num"].append(mn)
+            out["max_num"].append(mx)
+            out["min_str"].append(ms)
+            out["max_str"].append(xs)
+            out["raw_bytes"].append(raw)
+            out["enc_bytes"].append(enc)
+            out["sha256"].append(canonical_sha(vals, mask, lt))
+    return pa.table(
+        out,
+        schema=pa.schema(
+            [
+                ("bucket", pa.int32()),
+                ("block_id", pa.int32()),
+                ("col", pa.string()),
+                ("codec", pa.string()),
+                ("params", pa.string()),
+                ("n", pa.int64()),
+                ("null_count", pa.int64()),
+                ("validity", pa.binary()),
+                ("data", pa.binary()),
+                ("dict", pa.binary()),
+                ("min_int", pa.int64()),
+                ("max_int", pa.int64()),
+                ("min_num", pa.float64()),
+                ("max_num", pa.float64()),
+                ("min_str", pa.string()),
+                ("max_str", pa.string()),
+                ("raw_bytes", pa.int64()),
+                ("enc_bytes", pa.int64()),
+                ("sha256", pa.string()),
+            ]
+        ),
+    )
+
+
+# ------------------------------------------------------------------ lineage
+
+def _paths(out_dir: str) -> tuple[str, str, str]:
+    return f"{out_dir}/blocks", f"{out_dir}/lineage", f"{out_dir}/meta"
+
+
+def completed_buckets(spark: SparkSession, out_dir: str, snapshot_id: str) -> set[int]:
+    _, lineage_path, _ = _paths(out_dir)
+    try:
+        rows = (
+            spark.read.parquet(lineage_path)
+            .filter((F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done"))
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        return {r["bucket"] for r in rows}
+    except Exception:
+        return set()
+
+
+def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
+                 plan: dict[str, str] | None = None) -> EncodeResult:
+    """Run (or resume) the encode job. Deterministic: same input + config
+    -> byte-identical blocks and lineage (FIXTURES.md invariant 3)."""
+    logical = logical_types(df.schema)
+    if cfg.bucket_key not in logical:
+        raise ValueError(f"bucket_key {cfg.bucket_key!r} not in schema")
+    if plan is None:
+        # a resumed run must reuse the original plan so its blocks are
+        # byte-identical to an uninterrupted run (FIXTURES.md invariant 4)
+        try:
+            meta = read_meta(spark, cfg.out_dir)
+            if meta["snapshot_id"] == cfg.snapshot_id:
+                plan = meta["plan"]
+        except Exception:
+            plan = None
+    if plan is None:
+        plan = sample_plan(df, cfg)
+    order_by = cfg.order_by or [cfg.bucket_key]
+    blocks_path, lineage_path, meta_path = _paths(out_dir := cfg.out_dir)
+
+    # persist the plan FIRST so an interrupted run resumes with the same one
+    meta = spark.createDataFrame(
+        [
+            (
+                cfg.snapshot_id,
+                json.dumps(logical),
+                json.dumps(plan, sort_keys=True),
+                json.dumps(
+                    {
+                        "bucket_key": cfg.bucket_key,
+                        "buckets": cfg.buckets,
+                        "block_size": cfg.block_size,
+                        "order_by": order_by,
+                    }
+                ),
+            )
+        ],
+        "snapshot_id string, logical_json string, plan_json string, config_json string",
+    )
+    meta.write.mode("overwrite").parquet(meta_path)
+
+    done = completed_buckets(spark, out_dir, cfg.snapshot_id)
+    bucketed = df.withColumn(
+        "_bucket", (F.pmod(F.xxhash64(F.col(cfg.bucket_key)), F.lit(cfg.buckets))).cast("int")
+    )
+    if done:
+        bucketed = bucketed.filter(~F.col("_bucket").isin(*[int(b) for b in done]))
+
+    block_size, ob = cfg.block_size, order_by
+
+    def encode_fn(key, tbl):
+        return _encode_group(logical, plan, block_size, ob, key, tbl)
+
+    blocks = (
+        bucketed.repartition(cfg.buckets, "_bucket")
+        .groupBy("_bucket")
+        .applyInArrow(encode_fn, BLOCKS_SCHEMA)
+    )
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
+
+    # lineage rows aggregated from what actually landed (exactly-once:
+    # bucket dirs are atomic last-writer-wins, lineage appended after)
+    written = spark.read.parquet(blocks_path)
+    if done:
+        written = written.filter(~F.col("bucket").isin(*[int(b) for b in done]))
+    anchor = next(iter(logical))
+    lineage = (
+        written.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("col") == anchor, F.col("n")).otherwise(0)).alias("n_rows"),
+            (F.countDistinct("block_id")).alias("n_blocks"),
+            F.sum("raw_bytes").alias("raw_bytes"),
+            F.sum("enc_bytes").alias("enc_bytes"),
+            F.to_json(F.sort_array(F.collect_set(F.struct("col", "codec")))).alias("codec_json"),
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(F.collect_list(F.concat_ws(":", "col", "block_id", "sha256"))),
+                ),
+                256,
+            ).alias("content_sha"),
+        )
+        .withColumn("snapshot_id", F.lit(cfg.snapshot_id))
+        .withColumn("status", F.lit("done"))
+    )
+    lineage.write.mode("append").parquet(lineage_path)
+
+    new_buckets = {r["bucket"] for r in written.select("bucket").distinct().collect()}
+    return EncodeResult(blocks_path, lineage_path, plan, len(new_buckets), len(done))
+
+
+def read_meta(spark: SparkSession, out_dir: str) -> dict:
+    _, _, meta_path = _paths(out_dir)
+    row = spark.read.parquet(meta_path).collect()[0]
+    return {
+        "snapshot_id": row["snapshot_id"],
+        "logical": json.loads(row["logical_json"]),
+        "plan": json.loads(row["plan_json"]),
+        "config": json.loads(row["config_json"]),
+    }

@@ -1,0 +1,31 @@
+"""SparkSession factory tuned for the encode/scan workload."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(cores: int | str = "*", app: str = "parquet_main_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Local-mode session; on a real cluster the same confs apply per
+    executor (AQE + skew-join on, Arrow transfers on, UTC timestamps)."""
+    if shuffle_partitions is None:
+        ncpu = os.cpu_count() or 8
+        shuffle_partitions = ncpu if cores == "*" else int(cores)
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+    )
+    return builder.getOrCreate()

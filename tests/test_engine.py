@@ -1,0 +1,146 @@
+"""End-to-end engine tests: encode -> decode bit-identity, determinism,
+resume-from-checkpoint, zone-map pruning, in-situ dictionary predicates.
+
+Mirrors the reference's integration strategy (SURVEY.md §5: filtered scans
+asserted against a sequential-read oracle, SkippingColumnReaderImplTest.java)
+— our oracle is the original DataFrame itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from parquet_main_spark.operators.decode import Predicate, pruning_report, scan
+from parquet_main_spark.operators.encode import EncodeConfig, encode_table, read_meta
+from parquet_main_spark.sources.webpages import webpages
+
+N_ROWS = 3000
+BUCKETS = 8
+
+
+def _sorted_pdf(df, order="url"):
+    pdf = df.toPandas().sort_values(order).reset_index(drop=True)
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def encoded(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("enc"))
+    df = webpages(spark, N_ROWS, partitions=8)
+    cfg = EncodeConfig(out_dir=out, buckets=BUCKETS, block_size=256, snapshot_id="t1")
+    res = encode_table(spark, df, cfg)
+    return out, df, res
+
+
+def test_roundtrip_bit_identity(spark, encoded):
+    out, df, res = encoded
+    got = _sorted_pdf(scan(spark, out))[["url", "warc_ts", "html", "text", "lang"]]
+    want = _sorted_pdf(df)[["url", "warc_ts", "html", "text", "lang"]]
+    got["html"] = got["html"].map(bytes)
+    want["html"] = want["html"].map(bytes)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_plan_is_sensible(spark, encoded):
+    _, _, res = encoded
+    assert res.plan["lang"] == "dict"
+    assert res.plan["warc_ts"] in ("delta", "for", "dict", "rle")
+    assert res.plan["text"] in ("fsst", "dict")
+
+
+def test_compression_wins(spark, encoded):
+    out, _, _ = encoded
+    blocks = spark.read.parquet(f"{out}/blocks")
+    agg = blocks.groupBy("col").agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    )
+    rows = {r["col"]: (r["raw"], r["enc"]) for r in agg.collect()}
+    for col in ("lang", "text", "warc_ts", "url"):
+        raw, enc = rows[col]
+        assert enc < raw, f"{col}: {enc} >= {raw}"
+    # 40 codes via dict: big win even with per-block dict overhead at
+    # the tiny 256-row test block size (real block_size=65536 does better)
+    assert rows["lang"][1] < rows["lang"][0] * 0.25
+
+
+def test_determinism(spark, encoded, tmp_path):
+    out, df, res = encoded
+    out2 = str(tmp_path / "enc2")
+    cfg2 = EncodeConfig(out_dir=out2, buckets=BUCKETS, block_size=256, snapshot_id="t1")
+    encode_table(spark, webpages(spark, N_ROWS, partitions=3), cfg2)  # different partitioning
+    l1 = spark.read.parquet(f"{out}/lineage").select("bucket", "content_sha").collect()
+    l2 = spark.read.parquet(f"{out2}/lineage").select("bucket", "content_sha").collect()
+    assert sorted(map(tuple, l1)) == sorted(map(tuple, l2))
+
+
+def test_resume_matches_uninterrupted(spark, tmp_path):
+    df = webpages(spark, N_ROWS, partitions=8)
+    out = str(tmp_path / "resume")
+    cfg = EncodeConfig(out_dir=out, buckets=BUCKETS, block_size=256, snapshot_id="t1")
+    # simulate an interrupted run: only buckets {0,1,2} got done
+    partial = df.filter(F.pmod(F.xxhash64("url"), F.lit(BUCKETS)).isin(0, 1, 2))
+    res1 = encode_table(spark, partial, cfg)
+    assert res1.encoded_buckets <= 3
+    # resume with the full input
+    res2 = encode_table(spark, df, cfg)
+    assert res2.resumed_buckets == res1.encoded_buckets
+    assert res2.encoded_buckets == BUCKETS - res1.encoded_buckets
+    # uninterrupted reference run
+    out_ref = str(tmp_path / "ref")
+    encode_table(spark, df, EncodeConfig(out_dir=out_ref, buckets=BUCKETS, block_size=256, snapshot_id="t1"))
+    l1 = spark.read.parquet(f"{out}/lineage").select("bucket", "content_sha", "n_rows").collect()
+    lr = spark.read.parquet(f"{out_ref}/lineage").select("bucket", "content_sha", "n_rows").collect()
+    assert sorted(map(tuple, l1)) == sorted(map(tuple, lr))
+
+
+@pytest.mark.parametrize(
+    "pred_kwargs,sql",
+    [
+        (dict(col="lang", op="=", value="en"), "lang = 'en'"),
+        (dict(col="lang", op="isin", value=["de", "fr", "nosuch"]), "lang in ('de','fr','nosuch')"),
+        (dict(col="lang", op="between", value=("aa", "ff")), "lang between 'aa' and 'ff'"),
+        (dict(col="url", op=">=", value="https://host5"), "url >= 'https://host5'"),
+    ],
+)
+def test_predicate_scan_matches_oracle(spark, encoded, pred_kwargs, sql):
+    out, df, _ = encoded
+    got = scan(spark, out, columns=["url", "lang"], predicate=Predicate(**pred_kwargs))
+    want = df.filter(sql).select("url", "lang")
+    g = _sorted_pdf(got)
+    w = _sorted_pdf(want)
+    pd.testing.assert_frame_equal(g.reset_index(drop=True), w.reset_index(drop=True))
+
+
+def test_timestamp_predicate(spark, encoded):
+    out, df, _ = encoded
+    cut_us = 1_735_689_600_000_000 + 1500 * 1_000_000
+    got = scan(spark, out, columns=["url", "warc_ts"], predicate=Predicate("warc_ts", "<", cut_us))
+    want = df.filter(F.col("warc_ts") < F.lit("2025-01-01 00:25:00").cast("timestamp")).select(
+        "url", "warc_ts"
+    )
+    assert got.count() == want.count()
+
+
+def test_block_pruning_effective(spark, encoded):
+    out, _, _ = encoded
+    # urls sorted within bucket => tight per-block url ranges => real pruning
+    rep = pruning_report(spark, out, Predicate("url", ">=", "https://host999"))
+    assert rep["pruned_blocks"] > 0
+    assert rep["kept_blocks"] < rep["total_blocks"]
+
+
+def test_column_pruning_scan(spark, encoded):
+    out, df, _ = encoded
+    got = scan(spark, out, columns=["lang"])
+    assert got.columns == ["lang"]
+    assert got.count() == N_ROWS
+
+
+def test_meta_roundtrip(spark, encoded):
+    out, _, res = encoded
+    meta = read_meta(spark, out)
+    assert meta["plan"] == res.plan
+    assert meta["config"]["buckets"] == BUCKETS
