@@ -22,7 +22,7 @@ import numpy as np
 from . import delta, dict_codec, forpack, fsst, plain, rle
 from .bitpack import bit_width
 
-INT_TYPES = {"int32", "int64", "timestamp"}
+INT_TYPES = {"int32", "int64", "timestamp", "timestamp_ntz"}
 FLOAT_TYPES = {"float32", "float64"}
 VAR_TYPES = {"string", "binary"}
 
@@ -30,6 +30,7 @@ _NP_DTYPE = {
     "int32": np.int32,
     "int64": np.int64,
     "timestamp": np.int64,  # microseconds since epoch
+    "timestamp_ntz": np.int64,
     "float32": np.float32,
     "float64": np.float64,
     "bool": np.bool_,
@@ -39,6 +40,7 @@ _DICT_KIND = {
     "int32": dict_codec.KIND_INT64,
     "int64": dict_codec.KIND_INT64,
     "timestamp": dict_codec.KIND_INT64,
+    "timestamp_ntz": dict_codec.KIND_INT64,
     "float32": dict_codec.KIND_FLOAT64,
     "float64": dict_codec.KIND_FLOAT64,
     "string": dict_codec.KIND_UTF8,
@@ -50,6 +52,7 @@ APPLICABLE = {
     "int32": ["dict", "rle", "for", "delta", "plain"],
     "int64": ["dict", "rle", "for", "delta", "plain"],
     "timestamp": ["dict", "rle", "for", "delta", "plain"],
+    "timestamp_ntz": ["dict", "rle", "for", "delta", "plain"],
     "bool": ["rle", "plain"],
     "float32": ["dict", "plain"],
     "float64": ["dict", "plain"],

@@ -23,6 +23,7 @@ LOGICAL_FROM_SPARK = {
     "double": "float64",
     "boolean": "bool",
     "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
     "string": "string",
     "binary": "binary",
 }
@@ -34,6 +35,7 @@ SPARK_FROM_LOGICAL = {
     "float64": "double",
     "bool": "boolean",
     "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
     "string": "string",
     "binary": "binary",
 }
@@ -45,6 +47,7 @@ _PA_FROM_LOGICAL = {
     "float64": pa.float64(),
     "bool": pa.bool_(),
     "timestamp": pa.timestamp("us", tz="UTC"),
+    "timestamp_ntz": pa.timestamp("us"),
     "string": pa.string(),
     "binary": pa.binary(),
 }
@@ -72,7 +75,7 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
     if arr.null_count:
         mask = np.asarray(arr.is_valid())
         arr = arr.drop_null()
-    if lt == "timestamp":
+    if lt.startswith("timestamp"):
         vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
     elif lt == "binary":
         vals = np.array(arr.to_pylist(), dtype=object) if len(arr) else np.empty(0, dtype=object)
@@ -87,7 +90,7 @@ def dense_to_arrow(values: np.ndarray, mask: np.ndarray | None, lt: str) -> pa.A
     """Reinflate nulls and convert to the Arrow type Spark expects."""
     typ = _PA_FROM_LOGICAL[lt]
     if mask is None:
-        if lt == "timestamp":
+        if lt.startswith("timestamp"):
             return pa.array(np.ascontiguousarray(values, dtype=np.int64)).cast(typ)
         return pa.array(values, type=typ)
     n = len(mask)
@@ -97,11 +100,12 @@ def dense_to_arrow(values: np.ndarray, mask: np.ndarray | None, lt: str) -> pa.A
         full[mask] = values
         return pa.array(full, type=typ)
     dtype = {"int32": np.int32, "int64": np.int64, "timestamp": np.int64,
-             "float32": np.float32, "float64": np.float64, "bool": np.bool_}[lt]
+             "timestamp_ntz": np.int64, "float32": np.float32, "float64": np.float64,
+             "bool": np.bool_}[lt]
     full = np.zeros(n, dtype=dtype)
     full[mask] = values
     arr = pa.array(full, mask=~mask)
-    return arr.cast(typ) if lt == "timestamp" else arr.cast(typ)
+    return arr.cast(typ)
 
 
 def pack_validity(mask: np.ndarray | None) -> bytes | None:

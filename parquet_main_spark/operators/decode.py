@@ -61,7 +61,7 @@ def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _stat_cols(lt: str) -> tuple[str, str]:
-    if lt in ("int32", "int64", "timestamp", "bool"):
+    if lt in ("int32", "int64", "timestamp", "timestamp_ntz", "bool"):
         return "min_int", "max_int"
     if lt in ("float32", "float64"):
         return "min_num", "max_num"

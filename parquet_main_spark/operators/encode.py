@@ -157,7 +157,7 @@ def _block_stats(vals: np.ndarray, lt: str):
     ColumnWriterV1.java:113-139) -> (min_int, max_int, min_num, max_num, min_str, max_str)."""
     mi = ma = mn = mx = ms = xs = None
     if len(vals):
-        if lt in ("int32", "int64", "timestamp"):
+        if lt in ("int32", "int64", "timestamp", "timestamp_ntz"):
             mi, ma = int(vals.min()), int(vals.max())
         elif lt in ("float32", "float64"):
             mn, mx = float(vals.min()), float(vals.max())

@@ -1,0 +1,713 @@
+"""Driver-contract queries: Spark implementations + DuckDB oracle SQL.
+
+Three families (SURVEY.md §2 / driver brief):
+
+1. Relational capability proofs over the TPC-H-ish tables — Spark SQL gives
+   these "for free" (SURVEY.md §2.6); they prove scan/filter/join/agg/window
+   parity at the DataFrame level (broadcast joins for dims, partial aggs).
+2. Engine queries — encode the table with THIS engine at query time, answer
+   from the encoded blocks (in-situ dictionary predicates, zone-map pruning),
+   decode only what survives. Oracle = plain SQL over the raw table, so the
+   driver verifies the whole encode->prune->translate->decode pipeline.
+3. Training-data ops over documents/embeddings — dedup (exact, minhash-LSH,
+   n-gram jaccard, simhash), text analysis (tokens, quality, lang-id,
+   fingerprint), similarity search (cosine top-k, near-dup pairs, LSH
+   buckets), multimodal blob plumbing. All deterministic and expressed so
+   DuckDB computes the identical result.
+
+Column names/aliases match the oracle exactly (driver hashes values after
+sorting columns by name). Float aggregates are rounded in BOTH dialects.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_ENCODE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _encoded_dir(spark: SparkSession, sf_dir: str, table: str, bucket_key: str) -> str:
+    """Encode a testdata table with the engine once per (sf_dir, table);
+    reused by every engine query in the same session."""
+    key = (sf_dir, table)
+    if key not in _ENCODE_CACHE:
+        from .operators.encode import EncodeConfig, encode_table
+
+        out = os.path.join(tempfile.gettempdir(), "pms_enc",
+                           sf_dir.strip("/").replace("/", "_"), table)
+        cfg = EncodeConfig(out_dir=out, bucket_key=bucket_key, buckets=8,
+                           block_size=8192, snapshot_id=f"{table}@{sf_dir}")
+        encode_table(spark, _t(spark, sf_dir, table), cfg)
+        _ENCODE_CACHE[key] = out
+    return _ENCODE_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# 1. relational capability proofs
+
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                            AS sum_qty,
+       round(sum(l_extendedprice), 2)                       AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)    AS sum_disc_price,
+       round(avg(l_quantity), 4)                            AS avg_qty,
+       round(avg(l_discount), 4)                            AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q03_top_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q03_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q05_region_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+Q05_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q06_forecast_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.02, 0.04))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+Q06_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+"""
+
+
+def q_top_customers_per_segment(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    tot = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_spent"))
+    )
+    w = W.partitionBy("c_mktsegment").orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+    return tot.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+
+
+Q_TOPCUST_SQL = """
+SELECT * FROM (
+  SELECT c_mktsegment, c_custkey,
+         round(sum(o_totalprice), 2) AS total_spent,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY round(sum(o_totalprice), 2) DESC, c_custkey ASC) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, c_custkey
+) WHERE rn <= 3
+"""
+
+
+def q_events_by_type(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+Q_EVENTS_SQL = """
+SELECT event_type,
+       count(*)                  AS n_events,
+       count(DISTINCT user_id)   AS n_users,
+       round(sum(value), 2)      AS sum_value,
+       round(avg(value), 4)      AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+        .groupBy("day")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("dau"))
+    )
+
+
+Q_DAILY_SQL = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       count(*) AS n, count(DISTINCT user_id) AS dau
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# 2. engine queries (encode with THIS engine, answer from encoded blocks)
+
+
+def eng_lang_counts(spark, sf_dir):
+    """Group-by over a dictionary-encoded column, decoded by the engine
+    (dictionary build/decode path, SURVEY.md §2.2 E3/E4)."""
+    from .operators.decode import scan
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    return scan(spark, out, columns=["lang"]).groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+ENG_LANG_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def eng_insitu_isin(spark, sf_dir):
+    """In-situ dictionary predicate: lang IN (...) evaluated in id space
+    (Dictionary.filter* analog, column/Dictionary.java:107-132)."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    return scan(
+        spark, out, columns=["doc_id", "lang", "source"],
+        predicate=Predicate("lang", "isin", ["de", "fr"]),
+    )
+
+
+ENG_ISIN_SQL = "SELECT doc_id, lang, source FROM documents WHERE lang IN ('de', 'fr')"
+
+
+def eng_prune_range(spark, sf_dir):
+    """Zone-map pruned range scan over encoded blocks (page-skip analog,
+    SkippingColumnReaderImpl.java:735-771)."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+    rows = scan(
+        spark, out, columns=["l_orderkey", "l_quantity"],
+        predicate=Predicate("l_orderkey", "between", (1000, 2000)),
+    )
+    return rows.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+ENG_PRUNE_SQL = """
+SELECT l_orderkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 GROUP BY l_orderkey
+"""
+
+
+def eng_ts_filter(spark, sf_dir):
+    """Timestamp range predicate on delta/FOR-encoded column."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "events", "event_id")
+    from datetime import datetime, timezone
+
+    cut = int(datetime(1997, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    rows = scan(spark, out, columns=["event_id", "ts", "event_type"],
+                predicate=Predicate("ts", "<", cut))
+    return rows.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+ENG_TS_SQL = """
+SELECT event_type, count(*) AS n
+FROM events WHERE ts < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# 3. training-data pipeline operators
+
+
+def ops_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (hash-groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.count("*").alias("dup_count"), F.min("doc_id").alias("keep_doc_id")
+    )
+
+
+OPS_DEDUP_EXACT_SQL = """
+SELECT md5(text) AS text_hash, count(*) AS dup_count, min(doc_id) AS keep_doc_id
+FROM documents GROUP BY md5(text)
+"""
+
+
+def ops_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens")
+    )
+
+
+OPS_TOKENS_SQL = r"""
+SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens FROM documents
+"""
+
+
+def ops_quality_score(spark, sf_dir):
+    """Heuristic quality scoring: token count + mean token length blend."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    avg_len = F.round(n_nonspace / n_tokens, 4)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(avg_len / F.lit(10.0), F.lit(1.0)) * 0.5,
+        4,
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+OPS_QUALITY_SQL = r"""
+SELECT doc_id,
+       len(string_split_regex(text, '\s+')) AS n_tokens,
+       round(length(replace(text, ' ', '')) * 1.0 / len(string_split_regex(text, '\s+')), 4) AS avg_token_len,
+       round(least(len(string_split_regex(text, '\s+')) / 100.0, 1.0) * 0.5
+           + least(round(length(replace(text, ' ', '')) * 1.0 / len(string_split_regex(text, '\s+')), 4) / 10.0, 1.0) * 0.5,
+         4) AS quality_score
+FROM documents
+"""
+
+
+def ops_lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic (n-gram-lite)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    pred = (
+        F.when(t.contains(" the ") | t.startswith("the ") | t.contains(" a "), "en")
+        .when(t.contains(" der ") | t.contains(" die "), "de")
+        .otherwise("und")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+OPS_LANGID_SQL = """
+SELECT doc_id, lang,
+       CASE WHEN text LIKE '% the %' OR text LIKE 'the %' OR text LIKE '% a %' THEN 'en'
+            WHEN text LIKE '% der %' OR text LIKE '% die %' THEN 'de'
+            ELSE 'und' END AS predicted_lang
+FROM documents
+"""
+
+
+_SHINGLE_EXPR = (
+    "CASE WHEN size(split(text, '\\\\s+')) >= 3 THEN "
+    "transform(sequence(0, size(split(text, '\\\\s+')) - 3), "
+    "i -> concat_ws(' ', split(text, '\\\\s+')[i], split(text, '\\\\s+')[i+1], split(text, '\\\\s+')[i+2])) "
+    "ELSE array() END"
+)
+
+_SHINGLE_SQL = (
+    "SELECT doc_id, unnest(list_transform(range(1, greatest(len(w) - 1, 1)), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle "
+    r"FROM (SELECT doc_id, string_split_regex(text, '\s+') AS w FROM documents)"
+)
+
+
+def _shingles(spark, sf_dir) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
+
+
+def ops_fingerprint(spark, sf_dir):
+    """Winnowing-lite document fingerprint: min hash over word 3-shingles."""
+    sh = _shingles(spark, sf_dir)
+    return sh.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle").cast("binary"))).alias("fingerprint"),
+        F.countDistinct("shingle").alias("n_shingles"),
+    )
+
+
+OPS_FINGERPRINT_SQL = f"""
+SELECT doc_id, min(md5(shingle)) AS fingerprint, count(DISTINCT shingle) AS n_shingles
+FROM ({_SHINGLE_SQL}) GROUP BY doc_id
+"""
+
+
+def ops_minhash_bands(spark, sf_dir):
+    """MinHash-LSH bucketing: 16 portable minhashes (min over md5(shingle:k)),
+    4 bands of 4 -> band_hash; docs sharing (band, band_hash) are candidates."""
+    sh = _shingles(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+    ks = spark.range(16).withColumnRenamed("id", "k")
+    mh = (
+        sh.crossJoin(F.broadcast(ks))
+        .groupBy("doc_id", "k")
+        .agg(F.min(F.md5(F.concat(F.col("shingle"), F.lit(":"), F.col("k").cast("string")).cast("binary"))).alias("h"))
+    )
+    return (
+        mh.withColumn("band", (F.col("k") / 4).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.transform(F.sort_array(F.collect_list(F.struct("k", "h"))), lambda s: s.getField("h"))).cast("binary")
+            ).alias("band_hash")
+        )
+    )
+
+
+OPS_MINHASH_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL})),
+mh AS (
+  SELECT doc_id, k, min(md5(shingle || ':' || CAST(k AS VARCHAR))) AS h
+  FROM sh, generate_series(0, 15) t(k)
+  GROUP BY doc_id, k
+)
+SELECT doc_id, CAST(k // 4 AS INT) AS band,
+       md5(string_agg(h, ',' ORDER BY k)) AS band_hash
+FROM mh GROUP BY doc_id, CAST(k // 4 AS INT)
+"""
+
+
+def ops_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-dup candidate pairs by exact 3-shingle Jaccard (top 20)."""
+    sh = _shingles(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4))
+        .select("doc_a", "doc_b", "inter", "jaccard")
+        .orderBy(F.desc("jaccard"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(20)
+    )
+
+
+OPS_JACCARD_SQL = f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter,
+       round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY jaccard DESC, doc_a ASC, doc_b ASC
+LIMIT 20
+"""
+
+
+def ops_simhash(spark, sf_dir):
+    """32-bit SimHash from per-word md5 hex nibble high bits (portable)."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("word")
+    ).withColumn("wh", F.md5(F.col("word").cast("binary")))
+    agg = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("wh", b + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(32)
+        ]
+    )
+    bits = F.concat(*[F.when(F.col(f"s{b}") >= 0, "1").otherwise("0") for b in range(32)])
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+OPS_SIMHASH_SQL = (
+    "WITH w0 AS (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS word FROM documents),\n"
+    "words AS (SELECT DISTINCT doc_id, word FROM w0),\n"
+    "wh AS (SELECT doc_id, md5(word) AS wh FROM words),\n"
+    "agg AS (SELECT doc_id, "
+    + ", ".join(
+        f"sum(CASE WHEN substr(wh, {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(32)
+    )
+    + " FROM wh GROUP BY doc_id)\n"
+    + "SELECT doc_id, "
+    + " || ".join(f"(CASE WHEN s{b} >= 0 THEN '1' ELSE '0' END)" for b in range(32))
+    + " AS simhash FROM agg"
+)
+
+
+def ops_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against query vec_id=0 (ANN baseline)."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qemb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(dot / (norm("embedding") * norm("qemb")), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+OPS_COSINE_SQL = """
+WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id, e.label,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qemb) AS DOUBLE)      AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0
+)
+SELECT vec_id, label,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+FROM p GROUP BY vec_id, label
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def ops_neardup_embeddings(spark, sf_dir):
+    """Embedding near-dup: top-20 most-similar pairs by cosine."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    en = e.select("vec_id", "embedding", norm.alias("nrm"))
+    a = en.alias("a")
+    b = en.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 4).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
+
+
+OPS_NEARDUP_SQL = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) FROM unnest(embedding) t(u))) AS nrm
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.nrm AS na, b.nrm AS nb,
+         CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
+  FROM n a JOIN n b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(sum(x * y) / (any_value(na) * any_value(nb)), 4) AS cosine
+FROM p GROUP BY vec_a, vec_b
+ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+LIMIT 20
+"""
+
+
+def ops_blob_meta(spark, sf_dir):
+    """Multimodal plumbing: opaque binary blobs -> typed metadata via a
+    vectorized mapInPandas 'decoder' (real decode stubbed deterministically —
+    image/audio libs absent; the Spark-side schema/batch plumbing is real)."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("blob")
+    )
+
+    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            blobs = pdf["blob"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": blobs.map(len),
+                    "magic": blobs.map(lambda b: bytes(b[:8]).decode("utf-8", "replace")),
+                    "content_md5": blobs.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                }
+            )
+
+    return d.mapInPandas(extract, "doc_id bigint, n_bytes bigint, magic string, content_md5 string")
+
+
+OPS_BLOB_SQL = """
+SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes, substr(text, 1, 8) AS magic,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_orders": q03_top_orders,
+    "q05_region_revenue": q05_region_revenue,
+    "q06_forecast_revenue": q06_forecast_revenue,
+    "q_top_customers_per_segment": q_top_customers_per_segment,
+    "q_events_by_type": q_events_by_type,
+    "q_events_daily": q_events_daily,
+    "eng_lang_counts": eng_lang_counts,
+    "eng_insitu_isin": eng_insitu_isin,
+    "eng_prune_range": eng_prune_range,
+    "eng_ts_filter": eng_ts_filter,
+    "ops_dedup_exact": ops_dedup_exact,
+    "ops_token_count": ops_token_count,
+    "ops_quality_score": ops_quality_score,
+    "ops_lang_id": ops_lang_id,
+    "ops_fingerprint": ops_fingerprint,
+    "ops_minhash_bands": ops_minhash_bands,
+    "ops_ngram_jaccard_pairs": ops_ngram_jaccard_pairs,
+    "ops_simhash": ops_simhash,
+    "ops_cosine_topk": ops_cosine_topk,
+    "ops_neardup_embeddings": ops_neardup_embeddings,
+    "ops_blob_meta": ops_blob_meta,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q03_top_orders": Q03_SQL,
+    "q05_region_revenue": Q05_SQL,
+    "q06_forecast_revenue": Q06_SQL,
+    "q_top_customers_per_segment": Q_TOPCUST_SQL,
+    "q_events_by_type": Q_EVENTS_SQL,
+    "q_events_daily": Q_DAILY_SQL,
+    "eng_lang_counts": ENG_LANG_SQL,
+    "eng_insitu_isin": ENG_ISIN_SQL,
+    "eng_prune_range": ENG_PRUNE_SQL,
+    "eng_ts_filter": ENG_TS_SQL,
+    "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
+    "ops_token_count": OPS_TOKENS_SQL,
+    "ops_quality_score": OPS_QUALITY_SQL,
+    "ops_lang_id": OPS_LANGID_SQL,
+    "ops_fingerprint": OPS_FINGERPRINT_SQL,
+    "ops_minhash_bands": OPS_MINHASH_SQL,
+    "ops_ngram_jaccard_pairs": OPS_JACCARD_SQL,
+    "ops_simhash": OPS_SIMHASH_SQL,
+    "ops_cosine_topk": OPS_COSINE_SQL,
+    "ops_neardup_embeddings": OPS_NEARDUP_SQL,
+    "ops_blob_meta": OPS_BLOB_SQL,
+}
