@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): headline queries at
+$SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline = the engine's own encode job over the synthetic Common-Crawl-style
+webpages table (GB/s + docs/s + compression ratio — the north-rule metric),
+its decode/in-situ-scan paths, and a spread of relational + training-data
+queries from the driver contract.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def ensure_webpages_parquet(spark, rows: int, partitions: int) -> str:
+    """Generate (once) the deterministic synthetic input; generation is NOT
+    part of the timed encode."""
+    path = os.path.join(tempfile.gettempdir(), "pms_bench", f"webpages_{rows}.parquet")
+    if not os.path.exists(path):
+        from parquet_main_spark.sources.webpages import webpages
+
+        webpages(spark, rows, partitions=partitions).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    from pyspark.sql import functions as F
+
+    from parquet_main_spark.operators.decode import Predicate, scan
+    from parquet_main_spark.operators.encode import EncodeConfig, encode_table
+    from parquet_main_spark.session import get_spark
+
+    spark = get_spark(cpus, "bench", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # -- 1. the encode job (north-rule headline) ---------------------------
+    rows = max(20_000, int(1_000_000 * sf))
+    src_path = ensure_webpages_parquet(spark, rows, partitions=max(cpus, 32))
+    src = spark.read.parquet(src_path)
+    raw_bytes = src.select(
+        F.sum(
+            F.octet_length("url") + F.lit(8) + F.octet_length("html")
+            + F.octet_length("text") + F.octet_length("lang")
+        ).alias("b")
+    ).collect()[0]["b"]
+
+    out = tempfile.mkdtemp(prefix="pms_bench_enc_")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = EncodeConfig(out_dir=out, buckets=max(2 * cpus, 64), block_size=65536,
+                       snapshot_id=f"bench-{rows}")
+    t0 = time.perf_counter()
+    encode_table(spark, src, cfg)
+    t_enc = time.perf_counter() - t0
+    queries["encode_webpages"] = round(t_enc, 3)
+    lineage = spark.read.parquet(f"{out}/lineage").agg(
+        F.sum("raw_bytes").alias("raw"), F.sum("enc_bytes").alias("enc")
+    ).collect()[0]
+    extra["encode_gb_per_sec"] = round(raw_bytes / t_enc / 1e9, 4)
+    extra["encode_docs_per_sec"] = round(rows / t_enc, 1)
+    extra["compression_ratio"] = round(lineage["enc"] / lineage["raw"], 4)
+    extra["input_gb"] = round(raw_bytes / 1e9, 4)
+
+    # -- 2. decode + in-situ scan paths ------------------------------------
+    t0 = time.perf_counter()
+    n_full = scan(spark, out).count()
+    queries["decode_full_scan"] = round(time.perf_counter() - t0, 3)
+    assert n_full == rows, (n_full, rows)
+
+    t0 = time.perf_counter()
+    scan(spark, out, columns=["url", "lang"], predicate=Predicate("lang", "=", "en")).count()
+    queries["insitu_dict_filter"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    scan(spark, out, columns=["url"], predicate=Predicate("url", ">=", "https://host99")).count()
+    queries["zonemap_url_range"] = round(time.perf_counter() - t0, 3)
+
+    # -- 3. relational + training-data queries from the contract -----------
+    from parquet_main_spark.queries import QUERIES
+
+    for name in (
+        "q01_pricing_summary",
+        "q03_top_orders",
+        "q05_region_revenue",
+        "q_top_customers_per_segment",
+        "q_events_by_type",
+        "ops_dedup_exact",
+        "ops_minhash_bands",
+        "ops_cosine_topk",
+        "ops_simhash",
+    ):
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    shutil.rmtree(out, ignore_errors=True)
+    total = round(sum(queries.values()), 3)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        **extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -22,6 +22,9 @@ import numpy as np
 from . import delta, dict_codec, forpack, fsst, plain, rle
 from .bitpack import bit_width
 
+#: bump when any on-disk block/codec layout changes (readers reject mismatches)
+FORMAT_VERSION = 2
+
 INT_TYPES = {"int32", "int64", "timestamp", "timestamp_ntz"}
 FLOAT_TYPES = {"float32", "float64"}
 VAR_TYPES = {"string", "binary"}

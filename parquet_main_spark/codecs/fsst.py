@@ -3,20 +3,21 @@
 The reference has no FSST (its string story is dictionary/prefix codecs —
 SURVEY.md §2.2 E-row); this implements the string codec the north rule
 demands, following the public idea of FSST (Boncz, Neumann, Leis: "FSST:
-Fast Random Access String Compression", VLDB 2020): build a small table of
-frequent substrings ("symbols"), replace each occurrence with a 1-byte code.
+Fast Random Access String Compression", VLDB 2020) and of recursive pair
+compression (Re-Pair, Larsson & Moffat 1999): build a table of frequent
+symbols, replace each occurrence with a 1-byte code.
 
-Our variant trades peak ratio for exactness + whole-corpus vectorization:
-instead of an escape byte, codes are drawn from byte values that do NOT occur
-in the corpus (web text never uses all 256), so encoding is a chain of
-C-speed ``bytes.replace`` calls and decoding is the exact reverse chain.
-Symbols are substrings of the original corpus, hence can never contain a code
-byte — each replace is therefore exactly invertible. If the corpus uses all
-256 byte values or compression doesn't pay, we store the corpus raw
-(flag byte 0): the codec never fails.
+Vectorized variant: codes are drawn from byte values that do NOT occur in
+the corpus (web text never uses all 256), and symbols are byte PAIRS chosen
+per iteration — so one numpy pass replaces ALL chosen pairs at once
+(match -> non-overlapping greedy selection -> masked scatter), and K
+iterations give effective symbol lengths up to 2^K original bytes. Decode
+expands iterations in reverse — also one vectorized pass each. If the
+corpus uses all 256 byte values or compression doesn't pay, the corpus is
+stored raw (flag 0): the codec never fails.
 
-Determinism: symbol candidates are counted on a fixed-size prefix sample and
-ranked by (score desc, length desc, bytes asc) — no hash-order dependence.
+Determinism: pair candidates ranked by (count desc, pair value asc); no
+hash-order dependence.
 
 Column layout::
 
@@ -24,8 +25,9 @@ Column layout::
 
 Corpus blob layout::
 
-    u8 flag           # 1 = compressed, 0 = raw
-    flag=1: u8 nsym, repeated (u8 code, u8 len, bytes), encoded corpus
+    u8 flag            # 2 = pair-table compressed, 0 = raw
+    flag=2: u8 niter, per iter (u8 npairs, npairs * (code, hi, lo)),
+            u32 enc_len, encoded corpus
     flag=0: raw corpus
 """
 
@@ -38,80 +40,115 @@ import numpy as np
 from . import forpack
 from .strutil import from_blob, to_blob
 
-SAMPLE_MAX = 1 << 16
-MAX_SYMBOLS = 96
-SYM_LENGTHS = (8, 6, 4, 3, 2)
+MAX_ITERS = 3
+PAIRS_PER_ITER = 64
 MIN_COUNT = 4
+SAMPLE_BYTES = 1 << 23  # pair stats from an 8 MiB prefix sample
+_NONE = 0xFFFF
 
 
-def _candidates(sample: bytes) -> list[tuple[int, bytes]]:
-    """Frequent substrings of the sample, scored; deterministic order."""
-    arr = np.frombuffer(sample, dtype=np.uint8)
-    cands: dict[bytes, int] = {}
-    for L in SYM_LENGTHS:
-        if len(arr) < L:
-            continue
-        win = np.lib.stride_tricks.sliding_window_view(arr, L)
-        view = np.ascontiguousarray(win).view(np.dtype((np.void, L))).ravel()
-        uniq, counts = np.unique(view, return_counts=True)
-        keep = counts >= MIN_COUNT
-        ubytes = uniq[keep].tobytes()
-        ucounts = counts[keep]
-        for i in range(len(ucounts)):
-            s = ubytes[i * L : (i + 1) * L]
-            score = int(ucounts[i]) * (L - 1)
-            if cands.get(s, 0) < score:
-                cands[s] = score
-    return sorted(((sc, s) for s, sc in cands.items()), key=lambda t: (-t[0], -len(t[1]), t[1]))
+def _take_mask(match: np.ndarray) -> np.ndarray:
+    """Non-overlapping selection of pair matches (a match at i covers bytes
+    i, i+1): take even-position matches, then odd-position matches not
+    blocked by an even neighbor — O(n) boolean ops, near-greedy."""
+    n = len(match)
+    even = np.zeros(n, dtype=bool)
+    even[::2] = True
+    take_even = match & even
+    blk = np.zeros(n, dtype=bool)
+    blk[1:] |= take_even[:-1]
+    if n > 1:
+        blk[:-1] |= take_even[1:]
+    return take_even | (match & ~even & ~blk)
 
 
 def compress_corpus(blob: bytes) -> bytes:
-    """Compress a corpus; always returns a valid corpus blob (flag 0 or 1)."""
-    raw = struct.pack("<B", 0) + blob
+    """Compress a corpus; always returns a valid corpus blob (flag 0 or 2)."""
+    raw = b"\x00" + blob
     if len(blob) < 64:
         return raw
-    used = np.unique(np.frombuffer(blob, dtype=np.uint8))
-    unused = sorted(set(range(256)) - set(int(b) for b in used))
-    if not unused:
+    a = np.frombuffer(blob, dtype=np.uint8)
+    used = np.bincount(a, minlength=256) > 0
+    free = np.flatnonzero(~used).tolist()
+    if len(free) < 8:
         return raw
-    sample = blob[:SAMPLE_MAX]
-    cands = _candidates(sample)[: min(len(unused), MAX_SYMBOLS)]
-    if not cands:
+    iters: list[list[tuple[int, int, int]]] = []
+    for _ in range(MAX_ITERS):
+        budget = min(PAIRS_PER_ITER, len(free))
+        if budget < 1 or len(a) < 2:
+            break
+        pairs = (a[:-1].astype(np.uint16) << 8) | a[1:]
+        counts = np.bincount(pairs[:SAMPLE_BYTES], minlength=65536)
+        counts[counts < MIN_COUNT] = 0
+        order = np.lexsort((np.arange(65536), -counts))[:budget]
+        chosen = order[counts[order] > 0]
+        if len(chosen) == 0:
+            break
+        codes = np.array(free[: len(chosen)], dtype=np.uint8)
+        free = free[len(chosen):]
+        lut = np.full(65536, _NONE, dtype=np.uint16)
+        lut[chosen] = codes
+        pair_codes = lut[pairs]
+        take = _take_mask(pair_codes != _NONE)
+        if not take.any():
+            break
+        out = a.copy()
+        out[:-1][take] = pair_codes[take].astype(np.uint8)
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = ~take
+        a = out[keep]
+        iters.append(
+            [(int(c), int(p >> 8), int(p & 0xFF)) for c, p in zip(codes, chosen)]
+        )
+    if not iters:
         return raw
-    # apply longest symbols first so "the " beats "th"
-    order = sorted((s for _, s in cands), key=lambda s: (-len(s), s))
-    table = []
-    out = blob
-    for sym, code in zip(order, unused):
-        new = out.replace(sym, bytes([code]))
-        if len(new) < len(out):
-            table.append((code, sym))
-            out = new
-    header = bytearray(struct.pack("<BB", 1, len(table)))
-    for code, sym in table:
-        header += struct.pack("<BB", code, len(sym)) + sym
-    if len(header) + len(out) >= len(raw):
-        return raw
-    return bytes(header) + out
+    header = bytearray(struct.pack("<BB", 2, len(iters)))
+    for table in iters:
+        header += struct.pack("<B", len(table))
+        for code, hi, lo in table:
+            header += struct.pack("<BBB", code, hi, lo)
+    body = a.tobytes()
+    out_blob = bytes(header) + struct.pack("<I", len(body)) + body
+    return out_blob if len(out_blob) < len(raw) else raw
 
 
 def decompress_corpus(buf: bytes | memoryview) -> bytes:
-    buf = bytes(buf)
+    buf = memoryview(buf)
     flag = buf[0]
     if flag == 0:
-        return buf[1:]
-    nsym = buf[1]
+        return bytes(buf[1:])
+    niter = buf[1]
     pos = 2
-    table = []
-    for _ in range(nsym):
-        code, slen = struct.unpack_from("<BB", buf, pos)
-        pos += 2
-        table.append((code, buf[pos : pos + slen]))
-        pos += slen
-    out = buf[pos:]
-    for code, sym in reversed(table):
-        out = out.replace(bytes([code]), sym)
-    return out
+    iters = []
+    for _ in range(niter):
+        npairs = buf[pos]
+        pos += 1
+        table = []
+        for _ in range(npairs):
+            code, hi, lo = struct.unpack_from("<BBB", buf, pos)
+            pos += 3
+            table.append((code, hi, lo))
+        iters.append(table)
+    (enc_len,) = struct.unpack_from("<I", buf, pos)
+    pos += 4
+    a = np.frombuffer(buf, dtype=np.uint8, count=enc_len, offset=pos).copy()
+    for table in reversed(iters):
+        is_code_lut = np.zeros(256, dtype=bool)
+        hi_lut = np.arange(256, dtype=np.uint8)
+        lo_lut = np.zeros(256, dtype=np.uint8)
+        for code, hi, lo in table:
+            is_code_lut[code] = True
+            hi_lut[code] = hi
+            lo_lut[code] = lo
+        is_code = is_code_lut[a]
+        lens = is_code.astype(np.int64) + 1
+        starts = np.cumsum(lens) - lens
+        out = np.empty(int(len(a) + is_code.sum()), dtype=np.uint8)
+        out[starts] = hi_lut[a]
+        cpos = starts[is_code] + 1
+        out[cpos] = lo_lut[a[is_code]]
+        a = out
+    return a.tobytes()
 
 
 def encode(values: np.ndarray, binary: bool = False) -> bytes:

@@ -44,9 +44,10 @@ def _encoded_dir(spark: SparkSession, sf_dir: str, table: str, bucket_key: str) 
     reused by every engine query in the same session."""
     key = (sf_dir, table)
     if key not in _ENCODE_CACHE:
+        from .codecs import FORMAT_VERSION
         from .operators.encode import EncodeConfig, encode_table
 
-        out = os.path.join(tempfile.gettempdir(), "pms_enc",
+        out = os.path.join(tempfile.gettempdir(), f"pms_enc_v{FORMAT_VERSION}",
                            sf_dir.strip("/").replace("/", "_"), table)
         cfg = EncodeConfig(out_dir=out, bucket_key=bucket_key, buckets=8,
                            block_size=8192, snapshot_id=f"{table}@{sf_dir}")

@@ -136,7 +136,7 @@ def test_dict_predicate_translation():
 def test_encode_block_all_codecs(lt, codecs):
     if lt in ("int32", "int64"):
         vals = INT_FIXTURES["runs"].astype(np.int64 if lt == "int64" else np.int32)
-    elif lt == "timestamp":
+    elif lt in ("timestamp", "timestamp_ntz"):
         vals = np.cumsum(RNG.integers(0, 10**6, 5000)).astype(np.int64)
     elif lt == "bool":
         vals = (INT_FIXTURES["runs"][:5000] % 2).astype(bool)
