@@ -134,6 +134,36 @@ def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
     return _OPS[pred.op](vals, pred.value)
 
 
+def _decode_partition(
+    logical: dict[str, str],
+    columns: list[str],
+    pred: Predicate | None,
+    it,
+):
+    """mapInArrow partition decoder: blocks arrive hash-partitioned by
+    bucket, so (bucket, block_id) groups are whole here; grouping in Arrow
+    avoids Spark's grouped-map overhead (same rationale as the encoder)."""
+    batches = list(it)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    if tbl.num_rows == 0:
+        return
+    b = tbl.column("bucket").to_numpy()
+    blk = tbl.column("block_id").to_numpy()
+    keys = b.astype(np.int64) << 32 | blk.astype(np.int64)
+    order = np.argsort(keys, kind="stable")
+    sorted_keys = keys[order]
+    starts = np.flatnonzero(np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1])))
+    bounds = np.append(starts, len(sorted_keys))
+    for i in range(len(starts)):
+        idx = order[bounds[i] : bounds[i + 1]]
+        group = tbl.take(pa.array(idx))
+        out = _decode_group(logical, columns, pred, False, None, group)
+        if out.num_rows:
+            yield from out.to_batches()
+
+
 def _decode_group(
     logical: dict[str, str],
     columns: list[str],
@@ -219,12 +249,10 @@ def scan(
         blocks = blocks.join(surviving, ["bucket", "block_id"], "left_semi")
 
     out_schema = ", ".join(f"`{c}` {SPARK_FROM_LOGICAL[logical[c]]}" for c in columns)
-    cols, pred = list(columns), predicate
-
-    def decode_fn(key, tbl):
-        return _decode_group(logical, cols, pred, False, key, tbl)
-
-    return blocks.groupBy("bucket", "block_id").applyInArrow(decode_fn, out_schema)
+    nparts = max(1, spark.sparkContext.defaultParallelism)
+    return blocks.repartition(nparts, "bucket").mapInArrow(
+        partial(_decode_partition, logical, list(columns), predicate), out_schema
+    )
 
 
 def pruning_report(spark: SparkSession, out_dir: str, predicate: Predicate) -> dict[str, int]:

@@ -54,6 +54,11 @@ class EncodeConfig:
     sample_fraction: float = 0.05
     snapshot_id: str = "snap-0"
     plan_override: dict[str, str] = field(default_factory=dict)
+    # skew handling (north rule): when bucket_key is low-cardinality/skewed
+    # (e.g. lang or host), salt > 1 spreads each hot key over `salt` buckets
+    # using salt_col (a unique-ish column) for the intra-key split.
+    salt: int = 1
+    salt_col: str | None = None
 
 
 @dataclass
@@ -68,7 +73,15 @@ class EncodeResult:
 # ---------------------------------------------------------------- stats pass
 
 def _stats_fn(logical: dict[str, str], it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    batches = list(it)
+    # first Arrow batch per partition only: a deterministic prefix sample —
+    # the iterator is abandoned afterwards so the rest of the partition is
+    # never decoded (cheap stats pass; the reference pre-scans the whole
+    # input, ParquetWriterHelper.java:60-79 — sampling is our scale move)
+    batches = []
+    for batch in it:
+        batches.append(batch)
+        if sum(b.num_rows for b in batches) >= 8192:
+            break
     if not batches:
         return
     tbl = pa.Table.from_batches(batches)
@@ -112,10 +125,10 @@ def _merge_stats(parts: list[dict]) -> dict:
 
 def sample_plan(df: DataFrame, cfg: EncodeConfig) -> dict[str, str]:
     """Sampled-statistics codec selection (north rule): one vectorized Arrow
-    pass over a sample, merged on the driver, ruled by the selector."""
+    pass over a per-partition prefix sample, merged on the driver, ruled by
+    the selector."""
     logical = logical_types(df.schema)
-    sample = df.sample(fraction=min(1.0, cfg.sample_fraction), seed=42)
-    stats_df = sample.mapInArrow(partial(_stats_fn, logical), STATS_SCHEMA)
+    stats_df = df.mapInArrow(partial(_stats_fn, logical), STATS_SCHEMA)
     by_col: dict[str, list[dict]] = {}
     for row in stats_df.collect():
         by_col.setdefault(row["col"], []).append(json.loads(row["stats"]))
@@ -168,15 +181,38 @@ def _block_stats(vals: np.ndarray, lt: str):
     return mi, ma, mn, mx, ms, xs
 
 
+def _encode_partition(
+    logical: dict[str, str],
+    plan: dict[str, str],
+    block_size: int,
+    order_by: list[str],
+    it: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """mapInArrow partition encoder: hash-partitioning on _bucket keeps every
+    bucket whole within one partition, so grouping happens here in Arrow
+    (cheaper than Spark's grouped-map path, which adds a JVM sort + per-group
+    Arrow conversion — measured ~6s overhead on a no-op at 0.6 GB)."""
+    batches = list(it)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    if tbl.num_rows == 0:
+        return
+    buckets = np.unique(tbl.column("_bucket").to_numpy())
+    col = tbl.column("_bucket")
+    for bucket in buckets.tolist():
+        group = tbl.filter(pa.compute.equal(col, pa.scalar(int(bucket), pa.int32())))
+        yield from _encode_group(logical, plan, block_size, order_by, int(bucket), group).to_batches()
+
+
 def _encode_group(
     logical: dict[str, str],
     plan: dict[str, str],
     block_size: int,
     order_by: list[str],
-    key,
+    bucket: int,
     tbl: pa.Table,
 ) -> pa.Table:
-    bucket = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
     tbl = tbl.sort_by([(c, "ascending") for c in order_by])
     cols = [c for c in tbl.column_names if c != "_bucket"]
     n_rows = tbl.num_rows
@@ -297,6 +333,8 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                         "buckets": cfg.buckets,
                         "block_size": cfg.block_size,
                         "order_by": order_by,
+                        "salt": cfg.salt,
+                        "salt_col": cfg.salt_col,
                     }
                 ),
             )
@@ -306,21 +344,20 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     meta.write.mode("overwrite").parquet(meta_path)
 
     done = completed_buckets(spark, out_dir, cfg.snapshot_id)
-    bucketed = df.withColumn(
-        "_bucket", (F.pmod(F.xxhash64(F.col(cfg.bucket_key)), F.lit(cfg.buckets))).cast("int")
-    )
+    if cfg.salt > 1 and cfg.salt_col:
+        bucket_expr = F.pmod(
+            F.xxhash64(F.col(cfg.bucket_key)) + F.pmod(F.xxhash64(F.col(cfg.salt_col)), F.lit(cfg.salt)),
+            F.lit(cfg.buckets),
+        )
+    else:
+        bucket_expr = F.pmod(F.xxhash64(F.col(cfg.bucket_key)), F.lit(cfg.buckets))
+    bucketed = df.withColumn("_bucket", bucket_expr.cast("int"))
     if done:
         bucketed = bucketed.filter(~F.col("_bucket").isin(*[int(b) for b in done]))
 
-    block_size, ob = cfg.block_size, order_by
-
-    def encode_fn(key, tbl):
-        return _encode_group(logical, plan, block_size, ob, key, tbl)
-
     blocks = (
         bucketed.repartition(cfg.buckets, "_bucket")
-        .groupBy("_bucket")
-        .applyInArrow(encode_fn, BLOCKS_SCHEMA)
+        .mapInArrow(partial(_encode_partition, logical, plan, cfg.block_size, order_by), BLOCKS_SCHEMA)
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

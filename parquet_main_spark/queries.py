@@ -626,6 +626,106 @@ LIMIT 20
 """
 
 
+def _lsh_buckets(spark, sf_dir) -> DataFrame:
+    """8 deterministic pseudo-random hyperplanes: plane(i, j) =
+    ((i*31 + j*17) % 7) - 3 over 0-based dim i; bucket = sign-bit string.
+    The LSH 'scale path' for ANN: candidates share a bucket, so search cost
+    drops from O(N) to O(bucket)."""
+    e = _t(spark, sf_dir, "embeddings")
+    pos = e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
+    js = spark.range(8).withColumnRenamed("id", "j")
+    proj = (
+        pos.crossJoin(F.broadcast(js))
+        .withColumn("plane", (F.col("i") * 31 + F.col("j") * 17) % 7 - 3)
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x").cast("double") * F.col("plane")).alias("s"))
+        .withColumn("bit", F.when(F.round(F.col("s"), 6) >= 0, "1").otherwise("0"))
+    )
+    return (
+        proj.groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(F.sort_array(F.collect_list(F.struct("j", "bit"))), lambda s: s.getField("bit")),
+            ).alias("lsh_bucket")
+        )
+    )
+
+
+_LSH_BUCKETS_SQL = """
+WITH proj AS (
+  SELECT vec_id, j,
+         sum(CAST(embedding[i] AS DOUBLE) * (((i - 1) * 31 + j * 17) % 7 - 3)) AS s
+  FROM embeddings, generate_series(1, 64) t(i), generate_series(0, 7) u(j)
+  GROUP BY vec_id, j
+),
+bits AS (
+  SELECT vec_id, j, CASE WHEN round(s, 6) >= 0 THEN '1' ELSE '0' END AS bit FROM proj
+)
+SELECT vec_id, string_agg(bit, '' ORDER BY j) AS lsh_bucket FROM bits GROUP BY vec_id
+"""
+
+
+def ops_ann_lsh_buckets(spark, sf_dir):
+    return _lsh_buckets(spark, sf_dir)
+
+
+OPS_ANN_LSH_SQL = _LSH_BUCKETS_SQL
+
+
+def ops_ann_lsh_topk(spark, sf_dir):
+    """ANN via LSH: top-5 cosine neighbors of vec_id=0 AMONG ITS BUCKET —
+    the bucketed search path (vs ops_cosine_topk's brute force baseline)."""
+    b = _lsh_buckets(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    qb = b.filter(F.col("vec_id") == 0).select(F.col("lsh_bucket").alias("qbucket"))
+    cands = (
+        b.join(F.broadcast(qb), F.col("lsh_bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    ce = cands.join(e, "vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qemb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        ce.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot / (norm("embedding") * norm("qemb")), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+OPS_ANN_TOPK_SQL = f"""
+WITH buckets AS ({_LSH_BUCKETS_SQL}),
+qb AS (SELECT lsh_bucket FROM buckets WHERE vec_id = 0),
+cands AS (
+  SELECT b.vec_id FROM buckets b, qb WHERE b.lsh_bucket = qb.lsh_bucket AND b.vec_id <> 0
+),
+q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qemb) AS DOUBLE)      AS y
+  FROM embeddings e JOIN cands c ON e.vec_id = c.vec_id, q
+)
+SELECT vec_id, round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+FROM p GROUP BY vec_id
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
 def ops_blob_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary blobs -> typed metadata via a
     vectorized mapInPandas 'decoder' (real decode stubbed deterministically —
@@ -685,6 +785,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ops_simhash": ops_simhash,
     "ops_cosine_topk": ops_cosine_topk,
     "ops_neardup_embeddings": ops_neardup_embeddings,
+    "ops_ann_lsh_buckets": ops_ann_lsh_buckets,
+    "ops_ann_lsh_topk": ops_ann_lsh_topk,
     "ops_blob_meta": ops_blob_meta,
 }
 
@@ -710,5 +812,7 @@ ORACLES: dict[str, str] = {
     "ops_simhash": OPS_SIMHASH_SQL,
     "ops_cosine_topk": OPS_COSINE_SQL,
     "ops_neardup_embeddings": OPS_NEARDUP_SQL,
+    "ops_ann_lsh_buckets": OPS_ANN_LSH_SQL,
+    "ops_ann_lsh_topk": OPS_ANN_TOPK_SQL,
     "ops_blob_meta": OPS_BLOB_SQL,
 }

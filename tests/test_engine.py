@@ -139,6 +139,30 @@ def test_column_pruning_scan(spark, encoded):
     assert got.count() == N_ROWS
 
 
+def test_salted_skew_bucketing(spark, tmp_path):
+    """North-rule skew handling: bucketing by the zipf-skewed `lang`
+    ('en' ~45% of rows) without salt puts ~half the table in one bucket;
+    salting spreads each hot key over `salt` buckets while round-trip
+    stays exact."""
+    df = webpages(spark, N_ROWS, partitions=4)
+    out = str(tmp_path / "salted")
+    cfg = EncodeConfig(
+        out_dir=out, bucket_key="lang", buckets=16, block_size=256,
+        snapshot_id="t1", salt=8, salt_col="url",
+    )
+    encode_table(spark, df, cfg)
+    sizes = {
+        r["bucket"]: r["n_rows"]
+        for r in spark.read.parquet(f"{out}/lineage").select("bucket", "n_rows").collect()
+    }
+    # 'en' alone is ~45% of rows; salted max bucket must hold far less
+    assert max(sizes.values()) < 0.45 * N_ROWS
+    assert len(sizes) >= 8
+    got = _sorted_pdf(scan(spark, out, columns=["url", "lang"]))
+    want = _sorted_pdf(df.select("url", "lang"))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
 def test_meta_roundtrip(spark, encoded):
     out, _, res = encoded
     meta = read_meta(spark, out)
