@@ -35,7 +35,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..codecs import decode_block, params_loads
-from ..codecs import dict_codec
+from ..codecs import dict_codec, rle
 from ..functions.arrow import SPARK_FROM_LOGICAL, dense_to_arrow, unpack_validity
 from .encode import read_meta
 
@@ -138,6 +138,7 @@ def _decode_partition(
     logical: dict[str, str],
     columns: list[str],
     pred: Predicate | None,
+    gdicts: dict,
     it,
 ):
     """mapInArrow partition decoder: blocks arrive hash-partitioned by
@@ -159,7 +160,7 @@ def _decode_partition(
     for i in range(len(starts)):
         idx = order[bounds[i] : bounds[i + 1]]
         group = tbl.take(pa.array(idx))
-        out = _decode_group(logical, columns, pred, False, None, group)
+        out = _decode_group(logical, columns, pred, False, None, group, gdicts)
         if out.num_rows:
             yield from out.to_batches()
 
@@ -171,7 +172,9 @@ def _decode_group(
     count_only: bool,
     key,
     tbl: pa.Table,
+    gdicts: dict | None = None,
 ) -> pa.Table:
+    gdicts = gdicts or {}
     by_col = {tbl.column("col")[i].as_py(): i for i in range(tbl.num_rows)}
     n = tbl.column("n")[0].as_py()
 
@@ -186,6 +189,11 @@ def _decode_group(
             ids = dict_codec.decode_ids(row["data"])
             sorted_dict = dict_codec.load_dict(row["dict"])
             dense_mask = _mask_from_ids(ids, sorted_dict, pred)
+        elif row["codec"] == "gdict":
+            # global-dictionary block: same in-situ translation, dictionary
+            # comes from the meta table (E5 analog)
+            ids = rle.decode(row["data"]).astype(np.int64)
+            dense_mask = _mask_from_ids(ids, gdicts[pred.col], pred)
         else:
             vals = decode_block(row["data"], row["dict"], lt, row["codec"], params_loads(row["params"]))
             if lt == "string":
@@ -208,7 +216,15 @@ def _decode_group(
         dict_blob = tbl.column("dict")[i].as_py()
         params = params_loads(tbl.column("params")[i].as_py())
         validity = unpack_validity(tbl.column("validity")[i].as_py(), n)
-        vals = decode_block(data, dict_blob, lt, codec, params)
+        if codec == "gdict":
+            ids = rle.decode(data).astype(np.int64)
+            vals = gdicts[col][ids]
+            if lt == "int32":
+                vals = vals.astype(np.int32)
+            elif lt == "float32":
+                vals = vals.astype(np.float32)
+        else:
+            vals = decode_block(data, dict_blob, lt, codec, params)
         arr = dense_to_arrow(vals, validity, lt)
         if mask is not None:
             arr = arr.filter(pa.array(mask))
@@ -232,6 +248,9 @@ def scan(
     pushed predicate. Row order is not defined (Spark semantics)."""
     meta = read_meta(spark, out_dir)
     logical: dict[str, str] = meta["logical"]
+    from .encode import gdicts_from_json
+
+    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
     if columns is None:
         columns = list(logical)
     blocks = read_blocks(spark, out_dir)
@@ -251,7 +270,7 @@ def scan(
     out_schema = ", ".join(f"`{c}` {SPARK_FROM_LOGICAL[logical[c]]}" for c in columns)
     nparts = max(1, spark.sparkContext.defaultParallelism)
     return blocks.repartition(nparts, "bucket").mapInArrow(
-        partial(_decode_partition, logical, list(columns), predicate), out_schema
+        partial(_decode_partition, logical, list(columns), predicate, gdicts), out_schema
     )
 
 

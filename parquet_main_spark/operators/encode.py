@@ -59,6 +59,10 @@ class EncodeConfig:
     # using salt_col (a unique-ish column) for the intra-key split.
     salt: int = 1
     salt_col: str | None = None
+    # global (external) dictionary: columns the selector sent to "dict" whose
+    # exact cardinality is at most this get ONE table-wide sorted dictionary
+    # (E5 analog) instead of per-block copies; 0 disables.
+    global_dict_max_card: int = 4096
 
 
 @dataclass
@@ -145,10 +149,38 @@ def sample_plan(df: DataFrame, cfg: EncodeConfig) -> dict[str, str]:
 
 # --------------------------------------------------------------- encode pass
 
-def _encode_with_fallback(vals: np.ndarray, lt: str, preferred: str, raw_bytes: int):
+def _encode_gdict(vals: np.ndarray, lt: str, gdict: np.ndarray):
+    """Global (external) dictionary encode: ids are ranks in a table-wide
+    sorted dictionary shared by every block (the ExternalDictionaryValuesWriter
+    analog, ExternalDictionaryValuesWriter.java:20-93 — but instead of
+    erroring on unseen keys, the caller falls back to a local dictionary)."""
+    from ..codecs import rle
+    from ..codecs.bitpack import bit_width
+
+    if lt in ("int32", "int64", "timestamp", "timestamp_ntz"):
+        v: np.ndarray = np.ascontiguousarray(vals, dtype=np.int64)
+    elif lt in ("float32", "float64"):
+        v = np.ascontiguousarray(vals, dtype=np.float64)
+    else:
+        v = vals
+    ids = np.searchsorted(gdict, v)
+    ids = np.minimum(ids, len(gdict) - 1)
+    if len(v) and not (gdict[ids] == v).all():
+        return None  # unseen key -> caller falls back
+    return rle.encode(ids.astype(np.uint64), bit_width(len(gdict) - 1))
+
+
+def _encode_with_fallback(vals: np.ndarray, lt: str, preferred: str, raw_bytes: int,
+                          gdict: np.ndarray | None = None):
     """Try the planned codec; on error or non-compressing output walk the
     APPLICABLE chain (dictionary fallback-to-plain analog,
     DictionaryValuesWriter.java:119-142)."""
+    if preferred == "gdict":
+        if gdict is not None and len(vals):
+            data = _encode_gdict(vals, lt, gdict)
+            if data is not None:
+                return "gdict", data, None, {}, len(data)
+        preferred = "dict"
     chain = [preferred] + [c for c in APPLICABLE[lt] if c != preferred]
     last = None
     for codec in chain:
@@ -186,6 +218,7 @@ def _encode_partition(
     plan: dict[str, str],
     block_size: int,
     order_by: list[str],
+    gdicts: dict[str, np.ndarray] | None,
     it: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
     """mapInArrow partition encoder: hash-partitioning on _bucket keeps every
@@ -202,7 +235,9 @@ def _encode_partition(
     col = tbl.column("_bucket")
     for bucket in buckets.tolist():
         group = tbl.filter(pa.compute.equal(col, pa.scalar(int(bucket), pa.int32())))
-        yield from _encode_group(logical, plan, block_size, order_by, int(bucket), group).to_batches()
+        yield from _encode_group(
+            logical, plan, block_size, order_by, int(bucket), group, gdicts
+        ).to_batches()
 
 
 def _encode_group(
@@ -212,6 +247,7 @@ def _encode_group(
     order_by: list[str],
     bucket: int,
     tbl: pa.Table,
+    gdicts: dict[str, np.ndarray] | None = None,
 ) -> pa.Table:
     tbl = tbl.sort_by([(c, "ascending") for c in order_by])
     cols = [c for c in tbl.column_names if c != "_bucket"]
@@ -229,7 +265,10 @@ def _encode_group(
                 raw = int(sum(len(s.encode() if isinstance(s, str) else s) for s in vals)) + 4 * len(vals)
             else:
                 raw = int(np.ascontiguousarray(vals).nbytes)
-            codec, data, dict_blob, params, enc = _encode_with_fallback(vals, lt, plan.get(col, "plain"), raw)
+            codec, data, dict_blob, params, enc = _encode_with_fallback(
+                vals, lt, plan.get(col, "plain"), raw,
+                gdict=(gdicts or {}).get(col),
+            )
             mi, ma, mn, mx, ms, xs = _block_stats(vals, lt)
             out["bucket"].append(bucket)
             out["block_id"].append(block_id)
@@ -306,17 +345,48 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     logical = logical_types(df.schema)
     if cfg.bucket_key not in logical:
         raise ValueError(f"bucket_key {cfg.bucket_key!r} not in schema")
+    gdicts: dict[str, np.ndarray] = {}
     if plan is None:
-        # a resumed run must reuse the original plan so its blocks are
-        # byte-identical to an uninterrupted run (FIXTURES.md invariant 4)
+        # a resumed run must reuse the original plan AND global dictionaries
+        # so its blocks are byte-identical to an uninterrupted run
+        # (FIXTURES.md invariant 4)
         try:
             meta = read_meta(spark, cfg.out_dir)
             if meta["snapshot_id"] == cfg.snapshot_id:
                 plan = meta["plan"]
+                gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
         except Exception:
             plan = None
     if plan is None:
         plan = sample_plan(df, cfg)
+        # global (external) dictionary for low-cardinality columns: one exact
+        # sorted dictionary per column for the WHOLE table, shared by all
+        # blocks (E5 analog); distinct() is a cheap shuffle at low card
+        if cfg.global_dict_max_card > 0:
+            for col, codec in list(plan.items()):
+                if codec != "dict" or logical[col] == "binary":
+                    continue
+                lt = logical[col]
+                rows = (
+                    df.select(col).filter(F.col(col).isNotNull()).distinct()
+                    .limit(cfg.global_dict_max_card + 1).collect()
+                )
+                vals = [r[0] for r in rows]
+                if 0 < len(vals) <= cfg.global_dict_max_card:
+                    if lt in ("timestamp", "timestamp_ntz"):
+                        arr = np.sort(np.array(
+                            [int(v.timestamp() * 1e6) if hasattr(v, "timestamp") else int(v) for v in vals],
+                            dtype=np.int64,
+                        ))
+                    elif lt in ("int32", "int64"):
+                        arr = np.sort(np.array(vals, dtype=np.int64))
+                    elif lt in ("float32", "float64"):
+                        arr = np.sort(np.array(vals, dtype=np.float64))
+                    else:
+                        arr = np.sort(np.array(vals, dtype=object))
+                    gdicts[col] = arr
+                    plan[col] = "gdict"
+
     order_by = cfg.order_by or [cfg.bucket_key]
     blocks_path, lineage_path, meta_path = _paths(out_dir := cfg.out_dir)
 
@@ -337,9 +407,10 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                         "salt_col": cfg.salt_col,
                     }
                 ),
+                json.dumps(gdicts_to_json(gdicts), sort_keys=True),
             )
         ],
-        "snapshot_id string, logical_json string, plan_json string, config_json string",
+        "snapshot_id string, logical_json string, plan_json string, config_json string, gdict_json string",
     )
     meta.write.mode("overwrite").parquet(meta_path)
 
@@ -357,7 +428,10 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
 
     blocks = (
         bucketed.repartition(cfg.buckets, "_bucket")
-        .mapInArrow(partial(_encode_partition, logical, plan, cfg.block_size, order_by), BLOCKS_SCHEMA)
+        .mapInArrow(
+            partial(_encode_partition, logical, plan, cfg.block_size, order_by, gdicts),
+            BLOCKS_SCHEMA,
+        )
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -394,12 +468,31 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     return EncodeResult(blocks_path, lineage_path, plan, len(new_buckets), len(done))
 
 
+def gdicts_to_json(gdicts: dict[str, np.ndarray]) -> dict[str, list]:
+    return {col: arr.tolist() for col, arr in gdicts.items()}
+
+
+def gdicts_from_json(d: dict[str, list], logical: dict[str, str]) -> dict[str, np.ndarray]:
+    out = {}
+    for col, vals in d.items():
+        lt = logical.get(col, "string")
+        if lt in ("int32", "int64", "timestamp", "timestamp_ntz"):
+            out[col] = np.array(vals, dtype=np.int64)
+        elif lt in ("float32", "float64"):
+            out[col] = np.array(vals, dtype=np.float64)
+        else:
+            out[col] = np.array(vals, dtype=object)
+    return out
+
+
 def read_meta(spark: SparkSession, out_dir: str) -> dict:
     _, _, meta_path = _paths(out_dir)
     row = spark.read.parquet(meta_path).collect()[0]
+    d = row.asDict()
     return {
-        "snapshot_id": row["snapshot_id"],
-        "logical": json.loads(row["logical_json"]),
-        "plan": json.loads(row["plan_json"]),
-        "config": json.loads(row["config_json"]),
+        "snapshot_id": d["snapshot_id"],
+        "logical": json.loads(d["logical_json"]),
+        "plan": json.loads(d["plan_json"]),
+        "config": json.loads(d["config_json"]),
+        "gdicts": json.loads(d.get("gdict_json") or "{}"),
     }

@@ -28,4 +28,11 @@ def get_spark(cores: int | str = "*", app: str = "parquet_main_spark",
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "268435456")
     )
+    # sandbox benchmarking hook: the VM's disk sustains ~180 MB/s, far below
+    # a cluster executor's local NVMe — point shuffle/spill at tmpfs so
+    # compute scaling is measurable (real clusters set spark.local.dir
+    # per-node anyway)
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()

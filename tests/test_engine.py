@@ -46,7 +46,7 @@ def test_roundtrip_bit_identity(spark, encoded):
 
 def test_plan_is_sensible(spark, encoded):
     _, _, res = encoded
-    assert res.plan["lang"] == "dict"
+    assert res.plan["lang"] in ("dict", "gdict")
     assert res.plan["warc_ts"] in ("delta", "for", "dict", "rle")
     assert res.plan["text"] in ("fsst", "dict")
 
