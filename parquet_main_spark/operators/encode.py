@@ -260,9 +260,11 @@ def _encode_group(
         chunk = tbl.slice(start, block_size)
         for col in cols:
             lt = logical[col]
-            vals, mask = arrow_to_dense(chunk.column(col), lt)
+            arr = chunk.column(col)
+            vals, mask = arrow_to_dense(arr, lt)
             if lt in ("string", "binary"):
-                raw = int(sum(len(s.encode() if isinstance(s, str) else s) for s in vals)) + 4 * len(vals)
+                nbytes = pa.compute.sum(pa.compute.binary_length(arr)).as_py() or 0
+                raw = int(nbytes) + 4 * len(vals)
             else:
                 raw = int(np.ascontiguousarray(vals).nbytes)
             codec, data, dict_blob, params, enc = _encode_with_fallback(
@@ -435,7 +437,8 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     )
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    blocks.write.mode("overwrite").partitionBy("bucket").parquet(blocks_path)
+    # block payloads are already codec-compressed — snappy on top is wasted CPU
+    blocks.write.mode("overwrite").option("compression", "none").partitionBy("bucket").parquet(blocks_path)
 
     # lineage rows aggregated from what actually landed (exactly-once:
     # bucket dirs are atomic last-writer-wins, lineage appended after)

@@ -108,17 +108,27 @@ def _codec_work(seed):
     return len(blob), time.perf_counter() - t0
 
 
+def _pin_worker(n: int) -> None:
+    os.sched_setaffinity(0, set(range(n)))
+
+
 def ladder(fn, levels=(1, 2, 8, 32), per_bytes: bool = False) -> dict[int, float]:
+    """n workers PINNED to n cores (same hardware-bounding as run_level);
+    best of 2 rounds per level (the host shows run-to-run noise)."""
     out = {}
     for n in levels:
-        with mp.Pool(n) as p:
-            t0 = time.perf_counter()
-            res = p.map(fn, range(n))
-            dt = time.perf_counter() - t0
-        if per_bytes:
-            out[n] = round(sum(r[0] for r in res) / 1e6 / max(r[1] for r in res), 1)
-        else:
-            out[n] = round(n / dt, 2)
+        best = 0.0
+        for _ in range(2):
+            with mp.Pool(n, initializer=_pin_worker, initargs=(n,)) as p:
+                t0 = time.perf_counter()
+                res = p.map(fn, range(n))
+                dt = time.perf_counter() - t0
+            if per_bytes:
+                val = sum(r[0] for r in res) / 1e6 / max(r[1] for r in res)
+            else:
+                val = n / dt
+            best = max(best, val)
+        out[n] = round(best, 2)
     return out
 
 
@@ -138,10 +148,16 @@ def ensure_input(rows: int) -> str:
 
 
 def run_level(cpus: int, src: str, rows: int, repeats: int = 2) -> dict:
+    """One parallelism level, hardware-pinned: ``local[N]`` alone does NOT
+    bound cores (JVM shuffle threads + python workers float over all 32
+    vCPUs), so the whole process tree is pinned to exactly N cores with
+    taskset — the faithful single-machine emulation of an N-executor-core
+    cluster slice."""
     best = None
     for _ in range(repeats):
         proc = subprocess.run(
-            [sys.executable, "-c", RUNNER.format(repo=REPO), str(cpus), src, str(rows)],
+            ["taskset", "-c", f"0-{cpus - 1}",
+             sys.executable, "-c", RUNNER.format(repo=REPO), str(cpus), src, str(rows)],
             check=True, capture_output=True, text=True,
             env={**os.environ, "SPARK_GRAFT_LOCAL_DIR": "/dev/shm/spark-local"},
         )
@@ -188,7 +204,9 @@ N -> 4N. Sandbox evidence (no real cluster; per driver instruction, the
 same job at two parallelism levels on the same input — here local[2] vs
 local[8] = N vs 4N cores, plus local[32]). Input: deterministic synthetic
 webpages, {rows:,} rows, {results[32]['input_gb']} GB raw column bytes;
-fresh JVM per level, best of 2 runs, IO on tmpfs.
+fresh JVM per level, best of 2 runs, IO on tmpfs, and the WHOLE process
+tree (JVM + python workers) pinned to exactly N cores with taskset —
+plain local[N] does not bound hardware usage.
 
 ## 1. End-to-end encode job (sampled stats -> url-hash bucketing ->
 mapInArrow encode -> blocks + lineage writes)
