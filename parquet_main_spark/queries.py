@@ -413,6 +413,9 @@ _SHINGLE_SQL = (
 
 def _shingles(spark, sf_dir) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # small single-file inputs arrive as ONE partition; spread the shingle
+    # explosion + hashing across cores before the flatMap
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     return d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
 
 
@@ -435,20 +438,26 @@ def ops_minhash_bands(spark, sf_dir):
     """MinHash-LSH bucketing: 16 portable minhashes (min over md5(shingle:k)),
     4 bands of 4 -> band_hash; docs sharing (band, band_hash) are candidates."""
     sh = _shingles(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
-    ks = spark.range(16).withColumnRenamed("id", "k")
-    mh = (
-        sh.crossJoin(F.broadcast(ks))
-        .groupBy("doc_id", "k")
-        .agg(F.min(F.md5(F.concat(F.col("shingle"), F.lit(":"), F.col("k").cast("string")).cast("binary"))).alias("h"))
+    # all 16 minhashes in ONE aggregation pass (no 16x row explosion before
+    # the shuffle — partial aggregation does the min map-side)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f":{k}")).cast("binary"))).alias(f"h{k}")
+            for k in range(16)
+        ]
+    )
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col(f"h{4 * b + i}") for i in range(4)]).cast("binary")).alias("band_hash"),
+            )
+            for b in range(4)
+        ]
     )
     return (
-        mh.withColumn("band", (F.col("k") / 4).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.transform(F.sort_array(F.collect_list(F.struct("k", "h"))), lambda s: s.getField("h"))).cast("binary")
-            ).alias("band_hash")
-        )
+        mh.select("doc_id", F.explode(bands).alias("s"))
+        .select("doc_id", F.col("s.band").alias("band"), F.col("s.band_hash").alias("band_hash"))
     )
 
 
@@ -506,6 +515,7 @@ LIMIT 20
 def ops_simhash(spark, sf_dir):
     """32-bit SimHash from per-word md5 hex nibble high bits (portable)."""
     d = _t(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     words = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), r"\s+"))).alias("word")
     ).withColumn("wh", F.md5(F.col("word").cast("binary")))
