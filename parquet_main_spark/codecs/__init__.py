@@ -19,7 +19,7 @@ from typing import Any
 
 import numpy as np
 
-from . import delta, dict_codec, forpack, fsst, plain, rle
+from . import delta, dict_codec, forpack, fsst, plain, prefix, rle
 from .bitpack import bit_width
 
 #: bump when any on-disk block/codec layout changes (readers reject mismatches)
@@ -59,8 +59,8 @@ APPLICABLE = {
     "bool": ["rle", "plain"],
     "float32": ["dict", "plain"],
     "float64": ["dict", "plain"],
-    "string": ["dict", "fsst", "plain"],
-    "binary": ["dict", "fsst", "plain"],
+    "string": ["dict", "fsst", "prefix", "plain"],
+    "binary": ["dict", "fsst", "prefix", "plain"],
 }
 
 
@@ -104,6 +104,8 @@ def encode_block(
         return ids, blob, {}
     if codec == "fsst":
         return fsst.encode(values, binary=logical_type == "binary"), None, {}
+    if codec == "prefix":
+        return prefix.encode(values, binary=logical_type == "binary"), None, {}
     raise ValueError(f"unknown codec {codec!r}")
 
 
@@ -134,6 +136,8 @@ def decode_block(
         return vals
     elif codec == "fsst":
         return fsst.decode(data, binary=logical_type == "binary")
+    elif codec == "prefix":
+        return prefix.decode(data, binary=logical_type == "binary")
     else:
         raise ValueError(f"unknown codec {codec!r}")
     if logical_type == "int32":

@@ -64,7 +64,18 @@ def column_sample_stats(values: np.ndarray, logical_type: str) -> dict[str, Any]
         runs = 1 + int((values[1:] != values[:-1]).sum())
         dict_bytes = int(sum(len(s.encode() if isinstance(s, str) else s) for s in uniq))
         comp = compress_corpus(bytes(blob))
+        # measured shared-prefix ratio on a SORTED sub-sample (the encoder
+        # sorts blocks by the bucket key, so sorted overlap is what matters)
+        from ..codecs import prefix as _prefix
+
+        sub = np.sort(values[: min(len(values), 2048)])
+        try:
+            praw = sum(len(s.encode() if isinstance(s, str) else s) for s in sub) + 4 * len(sub)
+            prefix_ratio = len(_prefix.encode(sub, binary=logical_type == "binary")) / max(1, praw)
+        except ValueError:
+            prefix_ratio = 1.0
         st.update(
+            prefix_ratio=prefix_ratio,
             card=card,
             avg_run=n / runs,
             raw_bytes=int(lengths.sum()) + 8 * n,
@@ -122,6 +133,8 @@ def estimate_sizes(st: dict[str, Any]) -> dict[str, float]:
             est[codec] = n * bits / 8 * penalty + (n / 512 + 1) * 9
         elif codec == "fsst":
             est[codec] = st["raw_bytes"] * st.get("fsst_ratio", 1.0) + n  # + lengths
+        elif codec == "prefix":
+            est[codec] = st["raw_bytes"] * st.get("prefix_ratio", 1.0)
     return est
 
 

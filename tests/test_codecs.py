@@ -152,3 +152,27 @@ def test_encode_block_all_codecs(lt, codecs):
         np.testing.assert_array_equal(out, vals, err_msg=f"{lt}/{codec}")
         if lt not in ("string", "binary"):
             assert out.dtype == vals.dtype, f"{lt}/{codec}: {out.dtype}"
+
+
+def test_prefix_roundtrip_and_compression():
+    from parquet_main_spark.codecs import prefix
+
+    urls = np.sort(np.array(
+        [f"https://host{i % 7}.example.com/path/{i:06x}" for i in range(3000)], dtype=object))
+    enc = prefix.encode(urls)
+    raw = sum(len(u) for u in urls)
+    assert len(enc) < raw * 0.6  # sorted urls share long prefixes
+    np.testing.assert_array_equal(prefix.decode(enc), urls)
+
+
+def test_prefix_edge_cases():
+    from parquet_main_spark.codecs import prefix
+
+    for vals in (
+        np.array([], dtype=object),
+        np.array([""], dtype=object),
+        np.array(["", "", "a", "ab", "ab", "abc", "b"], dtype=object),
+        STR_FIXTURES["unicode"],
+        STR_FIXTURES["urls"],  # unsorted: still exact, just less compression
+    ):
+        np.testing.assert_array_equal(prefix.decode(prefix.encode(vals)), vals)
