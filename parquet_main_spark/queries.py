@@ -244,6 +244,87 @@ FROM events GROUP BY 1
 """
 
 
+def q_rollup_orders(spark, sf_dir):
+    """Hierarchical aggregate (ROLLUP) — grouping-sets capability."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+    )
+
+
+Q_ROLLUP_SQL = """
+SELECT coalesce(o_orderstatus, 'ALL')  AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n, round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_semi_anti_customers(spark, sf_dir):
+    """EXISTS / NOT EXISTS via left-semi + left-anti joins."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100_000)
+    with_big = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", F.lit("has_big_order").alias("bucket_label")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", F.lit("no_big_order").alias("bucket_label")
+    )
+    return with_big.unionByName(without).groupBy("bucket_label").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+Q_SEMI_SQL = """
+SELECT CASE WHEN EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+            THEN 'has_big_order' ELSE 'no_big_order' END AS bucket_label,
+       count(*) AS n_customers
+FROM customer c GROUP BY 1
+"""
+
+
+def q_status_pivot(spark, sf_dir):
+    """Conditional pivot: order counts per priority spread over status columns."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_filled"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_partial"),
+    )
+
+
+Q_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_union_key_space(spark, sf_dir):
+    """Set op: distinct union of two key populations."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().groupBy().agg(F.count("*").alias("n_nations"))
+
+
+Q_UNION_SQL = """
+SELECT count(*) AS n_nations FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  UNION
+  SELECT s_nationkey FROM supplier
+)
+"""
+
+
 # --------------------------------------------------------------------------
 # 2. engine queries (encode with THIS engine, answer from encoded blocks)
 
@@ -781,6 +862,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_top_customers_per_segment": q_top_customers_per_segment,
     "q_events_by_type": q_events_by_type,
     "q_events_daily": q_events_daily,
+    "q_rollup_orders": q_rollup_orders,
+    "q_semi_anti_customers": q_semi_anti_customers,
+    "q_status_pivot": q_status_pivot,
+    "q_union_key_space": q_union_key_space,
     "eng_lang_counts": eng_lang_counts,
     "eng_insitu_isin": eng_insitu_isin,
     "eng_prune_range": eng_prune_range,
@@ -808,6 +893,10 @@ ORACLES: dict[str, str] = {
     "q_top_customers_per_segment": Q_TOPCUST_SQL,
     "q_events_by_type": Q_EVENTS_SQL,
     "q_events_daily": Q_DAILY_SQL,
+    "q_rollup_orders": Q_ROLLUP_SQL,
+    "q_semi_anti_customers": Q_SEMI_SQL,
+    "q_status_pivot": Q_PIVOT_SQL,
+    "q_union_key_space": Q_UNION_SQL,
     "eng_lang_counts": ENG_LANG_SQL,
     "eng_insitu_isin": ENG_ISIN_SQL,
     "eng_prune_range": ENG_PRUNE_SQL,
