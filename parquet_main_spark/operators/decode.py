@@ -70,32 +70,40 @@ def _stat_cols(lt: str) -> tuple[str, str]:
 
 def prune_filter(pred: Predicate, lt: str):
     """Zone-map retention condition for blocks of pred.col (conservative:
-    True = block may contain matches). All-null blocks have null stats and
-    are dropped for comparison predicates (SQL null semantics)."""
+    True = block may contain matches). NULL stat bounds mean "unknown"
+    (binary prefix overflow, NaN floats, truncated long-string max — see
+    _block_stats) and retain the block unless it is all-null; all-null blocks
+    never match comparison predicates (SQL null semantics)."""
     lo, hi = [F.col(c) for c in _stat_cols(lt)]
+    # binary bounds are stored hex-encoded (order-preserving); compare the
+    # literal in the same space
+    enc = (lambda x: bytes(x).hex()) if lt == "binary" else (lambda x: x)
     v = pred.value
     if pred.op == "=":
-        return (lo <= F.lit(v)) & (hi >= F.lit(v))
-    if pred.op == "<":
-        return lo < F.lit(v)
-    if pred.op == "<=":
-        return lo <= F.lit(v)
-    if pred.op == ">":
-        return hi > F.lit(v)
-    if pred.op == ">=":
-        return hi >= F.lit(v)
-    if pred.op == "between":
+        cond = (lo <= F.lit(enc(v))) & (hi >= F.lit(enc(v)))
+    elif pred.op == "<":
+        cond = lo < F.lit(enc(v))
+    elif pred.op == "<=":
+        cond = lo <= F.lit(enc(v))
+    elif pred.op == ">":
+        cond = hi > F.lit(enc(v))
+    elif pred.op == ">=":
+        cond = hi >= F.lit(enc(v))
+    elif pred.op == "between":
         a, b = v
-        return (hi >= F.lit(a)) & (lo <= F.lit(b))
-    if pred.op == "isin":
-        conds = [(lo <= F.lit(x)) & (hi >= F.lit(x)) for x in v]
-        out = conds[0]
-        for c in conds[1:]:
-            out = out | c
-        return out
-    if pred.op == "!=":
-        return ~((lo == F.lit(v)) & (hi == F.lit(v)))
-    raise ValueError(f"unknown predicate op {pred.op!r}")
+        cond = (hi >= F.lit(enc(a))) & (lo <= F.lit(enc(b)))
+    elif pred.op == "isin":
+        if not len(v):
+            return F.lit(False)  # empty set matches nothing anywhere
+        cond = None
+        for x in v:
+            c = (lo <= F.lit(enc(x))) & (hi >= F.lit(enc(x)))
+            cond = c if cond is None else (cond | c)
+    elif pred.op == "!=":
+        cond = ~((lo == F.lit(enc(v))) & (hi == F.lit(enc(v))))
+    else:
+        raise ValueError(f"unknown predicate op {pred.op!r}")
+    return F.coalesce(cond, F.col("null_count") < F.col("n"))
 
 
 def _mask_from_ids(ids: np.ndarray, sorted_dict: np.ndarray, pred: Predicate) -> np.ndarray:
@@ -128,7 +136,12 @@ def _mask_from_ids(ids: np.ndarray, sorted_dict: np.ndarray, pred: Predicate) ->
 
 def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
     if pred.op == "isin":
-        return np.isin(vals, np.asarray(pred.value))
+        if not len(pred.value):
+            return np.zeros(len(vals), dtype=bool)
+        # object dtype (string/binary) must stay object: np.asarray on bytes
+        # would coerce to fixed-width 'S' and strip trailing NULs
+        want = np.asarray(pred.value, dtype=object if vals.dtype == object else None)
+        return np.isin(vals, want)
     if pred.op == "between":
         return (vals >= pred.value[0]) & (vals <= pred.value[1])
     return _OPS[pred.op](vals, pred.value)
@@ -137,7 +150,7 @@ def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
 def _decode_partition(
     logical: dict[str, str],
     columns: list[str],
-    pred: Predicate | None,
+    preds: list[Predicate],
     gdicts: dict,
     it,
 ):
@@ -160,15 +173,45 @@ def _decode_partition(
     for i in range(len(starts)):
         idx = order[bounds[i] : bounds[i + 1]]
         group = tbl.take(pa.array(idx))
-        out = _decode_group(logical, columns, pred, False, None, group, gdicts)
+        out = _decode_group(logical, columns, preds, False, None, group, gdicts)
         if out.num_rows:
             yield from out.to_batches()
+
+
+def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) -> np.ndarray:
+    """Full-length row mask (nulls never match) for one predicate over one
+    block — the record-skipping analog, evaluated in-situ on dictionary ids
+    where the block is dict/gdict-coded."""
+    i = by_col[pred.col]
+    row = {name: tbl.column(name)[i].as_py() for name in
+           ("codec", "params", "validity", "data", "dict")}
+    lt = logical[pred.col]
+    validity = unpack_validity(row["validity"], n)
+    if row["codec"] == "dict":
+        ids = dict_codec.decode_ids(row["data"])
+        sorted_dict = dict_codec.load_dict(row["dict"])
+        dense_mask = _mask_from_ids(ids, sorted_dict, pred)
+    elif row["codec"] == "gdict":
+        # global-dictionary block: same in-situ translation, dictionary
+        # comes from the meta table (E5 analog)
+        ids = rle.decode(row["data"]).astype(np.int64)
+        dense_mask = _mask_from_ids(ids, gdicts[pred.col], pred)
+    else:
+        vals = decode_block(row["data"], row["dict"], lt, row["codec"], params_loads(row["params"]))
+        if lt == "string":
+            vals = vals.astype(object) if vals.dtype != object else vals
+        dense_mask = _mask_from_values(vals, pred)
+    if validity is None:
+        return dense_mask
+    mask = np.zeros(n, dtype=bool)
+    mask[validity] = dense_mask  # nulls never match
+    return mask
 
 
 def _decode_group(
     logical: dict[str, str],
     columns: list[str],
-    pred: Predicate | None,
+    preds: list[Predicate],
     count_only: bool,
     key,
     tbl: pa.Table,
@@ -178,32 +221,11 @@ def _decode_group(
     by_col = {tbl.column("col")[i].as_py(): i for i in range(tbl.num_rows)}
     n = tbl.column("n")[0].as_py()
 
-    mask = None  # row-selection mask (record-skipping analog)
-    if pred is not None:
-        i = by_col[pred.col]
-        row = {name: tbl.column(name)[i].as_py() for name in
-               ("codec", "params", "validity", "data", "dict", "null_count")}
-        lt = logical[pred.col]
-        validity = unpack_validity(row["validity"], n)
-        if row["codec"] == "dict":
-            ids = dict_codec.decode_ids(row["data"])
-            sorted_dict = dict_codec.load_dict(row["dict"])
-            dense_mask = _mask_from_ids(ids, sorted_dict, pred)
-        elif row["codec"] == "gdict":
-            # global-dictionary block: same in-situ translation, dictionary
-            # comes from the meta table (E5 analog)
-            ids = rle.decode(row["data"]).astype(np.int64)
-            dense_mask = _mask_from_ids(ids, gdicts[pred.col], pred)
-        else:
-            vals = decode_block(row["data"], row["dict"], lt, row["codec"], params_loads(row["params"]))
-            if lt == "string":
-                vals = vals.astype(object) if vals.dtype != object else vals
-            dense_mask = _mask_from_values(vals, pred)
-        if validity is None:
-            mask = dense_mask
-        else:
-            mask = np.zeros(n, dtype=bool)
-            mask[validity] = dense_mask  # nulls never match
+    mask = None  # conjunction of per-predicate row masks (reference composes
+    # pageFilter AND rowFilter per scan, SkippingColumnReaderImpl.java:430-437)
+    for pred in preds:
+        m = _pred_mask(logical, gdicts, by_col, tbl, n, pred)
+        mask = m if mask is None else (mask & m)
         if not mask.any():
             return pa.table({c: pa.array([], type=_pa_type(logical[c])) for c in columns})
 
@@ -238,39 +260,55 @@ def _pa_type(lt: str):
     return _PA_FROM_LOGICAL[lt]
 
 
+def _as_pred_list(predicate: Predicate | list[Predicate] | None) -> list[Predicate]:
+    if predicate is None:
+        return []
+    if isinstance(predicate, Predicate):
+        return [predicate]
+    return list(predicate)
+
+
 def scan(
     spark: SparkSession,
     out_dir: str,
     columns: list[str] | None = None,
-    predicate: Predicate | None = None,
+    predicate: Predicate | list[Predicate] | None = None,
 ) -> DataFrame:
-    """Decode the encoded table back to rows, with block pruning + optional
-    pushed predicate. Row order is not defined (Spark semantics)."""
+    """Decode the encoded table back to rows, with block pruning + pushed
+    predicates (a list is a conjunction: zone-map conditions intersect, row
+    masks AND — the reference's pageFilter+rowFilter composition,
+    SkippingColumnReaderImpl.java:430-437). Row order is not defined."""
     meta = read_meta(spark, out_dir)
     logical: dict[str, str] = meta["logical"]
     from .encode import gdicts_from_json
 
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
+    preds = _as_pred_list(predicate)
     if columns is None:
         columns = list(logical)
     blocks = read_blocks(spark, out_dir)
 
-    needed = set(columns) | ({predicate.col} if predicate else set())
+    needed = set(columns) | {p.col for p in preds}
     blocks = blocks.filter(F.col("col").isin(*needed))  # column pruning, pushed to parquet
 
-    if predicate is not None:
-        lt = logical[predicate.col]
-        surviving = (
-            blocks.filter(F.col("col") == predicate.col)
-            .filter(prune_filter(predicate, lt))
+    surviving = None
+    for pred in preds:
+        lt = logical[pred.col]
+        surv_p = (
+            blocks.filter(F.col("col") == pred.col)
+            .filter(prune_filter(pred, lt))
             .select("bucket", "block_id")
         )
+        surviving = surv_p if surviving is None else surviving.join(
+            surv_p, ["bucket", "block_id"], "left_semi"
+        )
+    if surviving is not None:
         blocks = blocks.join(surviving, ["bucket", "block_id"], "left_semi")
 
     out_schema = ", ".join(f"`{c}` {SPARK_FROM_LOGICAL[logical[c]]}" for c in columns)
     nparts = max(1, spark.sparkContext.defaultParallelism)
     return blocks.repartition(nparts, "bucket").mapInArrow(
-        partial(_decode_partition, logical, list(columns), predicate, gdicts), out_schema
+        partial(_decode_partition, logical, list(columns), preds, gdicts), out_schema
     )
 
 

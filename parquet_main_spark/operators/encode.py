@@ -51,7 +51,6 @@ class EncodeConfig:
     buckets: int = 32
     block_size: int = 65536
     order_by: list[str] | None = None  # intra-bucket deterministic sort keys
-    sample_fraction: float = 0.05
     snapshot_id: str = "snap-0"
     plan_override: dict[str, str] = field(default_factory=dict)
     # skew handling (north rule): when bucket_key is low-cardinality/skewed
@@ -127,24 +126,26 @@ def _merge_stats(parts: list[dict]) -> dict:
     return out
 
 
-def sample_plan(df: DataFrame, cfg: EncodeConfig) -> dict[str, str]:
+def sample_plan(df: DataFrame, cfg: EncodeConfig) -> tuple[dict[str, str], dict[str, dict]]:
     """Sampled-statistics codec selection (north rule): one vectorized Arrow
     pass over a per-partition prefix sample, merged on the driver, ruled by
-    the selector."""
+    the selector. Returns (plan, merged sample stats per column) — the stats
+    gate downstream decisions (e.g. global-dict candidacy) without rescanning."""
     logical = logical_types(df.schema)
     stats_df = df.mapInArrow(partial(_stats_fn, logical), STATS_SCHEMA)
     by_col: dict[str, list[dict]] = {}
     for row in stats_df.collect():
         by_col.setdefault(row["col"], []).append(json.loads(row["stats"]))
+    merged = {col: _merge_stats(parts) for col, parts in by_col.items()}
     plan = {}
     for col, lt in logical.items():
         if col in cfg.plan_override:
             plan[col] = cfg.plan_override[col]
-        elif col in by_col:
-            plan[col] = choose_codec(_merge_stats(by_col[col]))
+        elif col in merged:
+            plan[col] = choose_codec(merged[col])
         else:
             plan[col] = "plain"
-    return plan
+    return plan, merged
 
 
 # --------------------------------------------------------------- encode pass
@@ -197,19 +198,56 @@ def _encode_with_fallback(vals: np.ndarray, lt: str, preferred: str, raw_bytes: 
     return last
 
 
+#: bytes of a binary bound / chars of a string bound kept in the zone map —
+#: long values (html blobs, full documents) must not bloat the stats table
+STAT_PREFIX_BYTES = 16
+STAT_PREFIX_CHARS = 64
+
+
+def _inc_bytes(b: bytes) -> bytes | None:
+    """Smallest byte string > every string having prefix ``b`` (None if all
+    0xFF — no finite bound). The parquet truncate-and-increment stats trick."""
+    arr = bytearray(b)
+    for i in reversed(range(len(arr))):
+        if arr[i] != 0xFF:
+            arr[i] += 1
+            return bytes(arr[: i + 1])
+    return None
+
+
 def _block_stats(vals: np.ndarray, lt: str):
     """Typed per-block min/max (the per-page Statistics analog,
-    ColumnWriterV1.java:113-139) -> (min_int, max_int, min_num, max_num, min_str, max_str)."""
+    ColumnWriterV1.java:113-139) -> (min_int, max_int, min_num, max_num, min_str, max_str).
+
+    Conservative-by-construction bounds: a None bound means "unknown" and
+    prune_filter retains the block (unless all-null). Cases that yield None:
+    float blocks containing NaN (NaN ordering differs between numpy/Spark/SQL,
+    so no finite bounds are safe), over-long string max (truncation would
+    understate it), binary max whose 16-byte prefix is all 0xFF.
+    Binary bounds are hex-encoded (hex preserves byte order lexicographically)
+    so they fit the string stats columns.
+    """
     mi = ma = mn = mx = ms = xs = None
     if len(vals):
         if lt in ("int32", "int64", "timestamp", "timestamp_ntz"):
             mi, ma = int(vals.min()), int(vals.max())
         elif lt in ("float32", "float64"):
-            mn, mx = float(vals.min()), float(vals.max())
+            if not np.isnan(vals).any():
+                mn, mx = float(vals.min()), float(vals.max())
         elif lt == "bool":
             mi, ma = int(vals.min()), int(vals.max())
         elif lt == "string":
-            ms, xs = str(min(vals)), str(max(vals))
+            lo, hi = str(min(vals)), str(max(vals))
+            ms = lo if len(lo) <= STAT_PREFIX_CHARS else lo[:STAT_PREFIX_CHARS]
+            xs = hi if len(hi) <= STAT_PREFIX_CHARS else None
+        elif lt == "binary":
+            lo, hi = bytes(min(vals)), bytes(max(vals))
+            ms = lo[:STAT_PREFIX_BYTES].hex()
+            if len(hi) <= STAT_PREFIX_BYTES:
+                xs = hi.hex()
+            else:
+                bound = _inc_bytes(hi[:STAT_PREFIX_BYTES])
+                xs = bound.hex() if bound is not None else None
     return mi, ma, mn, mx, ms, xs
 
 
@@ -325,6 +363,14 @@ def _paths(out_dir: str) -> tuple[str, str, str]:
     return f"{out_dir}/blocks", f"{out_dir}/lineage", f"{out_dir}/meta"
 
 
+def _local_path(p: str) -> str:
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
+
+
 def completed_buckets(spark: SparkSession, out_dir: str, snapshot_id: str) -> set[int]:
     _, lineage_path, _ = _paths(out_dir)
     try:
@@ -347,50 +393,76 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     logical = logical_types(df.schema)
     if cfg.bucket_key not in logical:
         raise ValueError(f"bucket_key {cfg.bucket_key!r} not in schema")
+    blocks_path, lineage_path, meta_path = _paths(out_dir := cfg.out_dir)
+
+    prev_meta = None
+    try:
+        prev_meta = read_meta(spark, cfg.out_dir)
+    except Exception:
+        pass
+    if prev_meta is not None and prev_meta["snapshot_id"] != cfg.snapshot_id:
+        # reused out_dir, NEW snapshot: dynamic partition overwrite only
+        # replaces buckets this run produces — stale bucket partitions from
+        # the prior snapshot would otherwise survive and leak phantom rows
+        # into lineage and scan(); drop them up front
+        import shutil
+
+        for p in (blocks_path, lineage_path):
+            shutil.rmtree(_local_path(p), ignore_errors=True)
+        prev_meta = None
+
     gdicts: dict[str, np.ndarray] = {}
-    if plan is None:
+    if plan is None and prev_meta is not None:
         # a resumed run must reuse the original plan AND global dictionaries
         # so its blocks are byte-identical to an uninterrupted run
         # (FIXTURES.md invariant 4)
-        try:
-            meta = read_meta(spark, cfg.out_dir)
-            if meta["snapshot_id"] == cfg.snapshot_id:
-                plan = meta["plan"]
-                gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-        except Exception:
-            plan = None
+        plan = prev_meta["plan"]
+        gdicts = gdicts_from_json(prev_meta.get("gdicts", {}), logical)
     if plan is None:
-        plan = sample_plan(df, cfg)
+        plan, stats = sample_plan(df, cfg)
         # global (external) dictionary for low-cardinality columns: one exact
         # sorted dictionary per column for the WHOLE table, shared by all
-        # blocks (E5 analog); distinct() is a cheap shuffle at low card
+        # blocks (E5 analog). All candidate columns are confirmed in ONE
+        # aggregation job (not one full scan per column); candidacy is gated
+        # on the sampled KMV estimate so collect_set stays small.
         if cfg.global_dict_max_card > 0:
-            for col, codec in list(plan.items()):
-                if codec != "dict" or logical[col] == "binary":
-                    continue
-                lt = logical[col]
-                rows = (
-                    df.select(col).filter(F.col(col).isNotNull()).distinct()
-                    .limit(cfg.global_dict_max_card + 1).collect()
-                )
-                vals = [r[0] for r in rows]
-                if 0 < len(vals) <= cfg.global_dict_max_card:
-                    if lt in ("timestamp", "timestamp_ntz"):
-                        arr = np.sort(np.array(
-                            [int(v.timestamp() * 1e6) if hasattr(v, "timestamp") else int(v) for v in vals],
-                            dtype=np.int64,
-                        ))
-                    elif lt in ("int32", "int64"):
-                        arr = np.sort(np.array(vals, dtype=np.int64))
+            cands = [
+                c for c, codec in plan.items()
+                if codec == "dict" and logical[c] != "binary"
+                and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
+            ]
+            if cands:
+                aggs = []
+                for c in cands:
+                    e = F.col(c)
+                    # epoch micros computed IN Spark — driver-side
+                    # datetime.timestamp() is local-timezone-dependent and
+                    # would break cross-machine byte-identity
+                    if logical[c] == "timestamp":
+                        e = F.unix_micros(e)
+                    elif logical[c] == "timestamp_ntz":
+                        e = F.unix_micros(F.to_utc_timestamp(e, "UTC"))
+                    aggs.append(
+                        F.slice(F.sort_array(F.collect_set(e)), 1, cfg.global_dict_max_card + 1).alias(c)
+                    )
+                row = df.agg(*aggs).collect()[0]
+                for c in cands:
+                    vals = row[c]
+                    if not vals or len(vals) > cfg.global_dict_max_card:
+                        continue  # over budget: stay on per-block dict
+                    lt = logical[c]
+                    if lt in ("timestamp", "timestamp_ntz", "int32", "int64"):
+                        arr = np.array(vals, dtype=np.int64)
                     elif lt in ("float32", "float64"):
-                        arr = np.sort(np.array(vals, dtype=np.float64))
+                        arr = np.array(vals, dtype=np.float64)
+                        if np.isnan(arr).any():
+                            continue  # NaN has no sort rank; keep local dict
                     else:
-                        arr = np.sort(np.array(vals, dtype=object))
-                    gdicts[col] = arr
-                    plan[col] = "gdict"
+                        arr = np.array(vals, dtype=object)
+                    gdicts[c] = np.sort(arr)
+                    plan[c] = "gdict"
 
     order_by = cfg.order_by or [cfg.bucket_key]
-    blocks_path, lineage_path, meta_path = _paths(out_dir := cfg.out_dir)
 
     # persist the plan FIRST so an interrupted run resumes with the same one
     meta = spark.createDataFrame(
