@@ -172,10 +172,17 @@ def _encode_gdict(vals: np.ndarray, lt: str, gdict: np.ndarray):
 
 
 def _encode_with_fallback(vals: np.ndarray, lt: str, preferred: str, raw_bytes: int,
-                          gdict: np.ndarray | None = None):
+                          gdict: np.ndarray | None = None, forced: bool = False):
     """Try the planned codec; on error or non-compressing output walk the
     APPLICABLE chain (dictionary fallback-to-plain analog,
-    DictionaryValuesWriter.java:119-142)."""
+    DictionaryValuesWriter.java:119-142). ``forced`` = the column's codec was
+    pinned via plan_override (the reference's forced per-column encoding,
+    ParquetWriterHelper.java:129-293): use it even when it doesn't compress,
+    and surface errors instead of silently switching."""
+    if forced and preferred != "gdict":
+        data, dict_blob, params = encode_block(vals, lt, preferred)
+        enc = len(data) + (len(dict_blob) if dict_blob else 0)
+        return preferred, data, dict_blob, params, enc
     if preferred == "gdict":
         if gdict is not None and len(vals):
             data = _encode_gdict(vals, lt, gdict)
@@ -257,6 +264,7 @@ def _encode_partition(
     block_size: int,
     order_by: list[str],
     gdicts: dict[str, np.ndarray] | None,
+    forced: frozenset[str],
     it: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
     """mapInArrow partition encoder: hash-partitioning on _bucket keeps every
@@ -274,7 +282,7 @@ def _encode_partition(
     for bucket in buckets.tolist():
         group = tbl.filter(pa.compute.equal(col, pa.scalar(int(bucket), pa.int32())))
         yield from _encode_group(
-            logical, plan, block_size, order_by, int(bucket), group, gdicts
+            logical, plan, block_size, order_by, int(bucket), group, gdicts, forced
         ).to_batches()
 
 
@@ -286,6 +294,7 @@ def _encode_group(
     bucket: int,
     tbl: pa.Table,
     gdicts: dict[str, np.ndarray] | None = None,
+    forced: frozenset[str] = frozenset(),
 ) -> pa.Table:
     tbl = tbl.sort_by([(c, "ascending") for c in order_by])
     cols = [c for c in tbl.column_names if c != "_bucket"]
@@ -307,7 +316,7 @@ def _encode_group(
                 raw = int(np.ascontiguousarray(vals).nbytes)
             codec, data, dict_blob, params, enc = _encode_with_fallback(
                 vals, lt, plan.get(col, "plain"), raw,
-                gdict=(gdicts or {}).get(col),
+                gdict=(gdicts or {}).get(col), forced=col in forced,
             )
             mi, ma, mn, mx, ms, xs = _block_stats(vals, lt)
             out["bucket"].append(bucket)
@@ -412,12 +421,14 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         prev_meta = None
 
     gdicts: dict[str, np.ndarray] = {}
+    forced = frozenset(cfg.plan_override)
     if plan is None and prev_meta is not None:
         # a resumed run must reuse the original plan AND global dictionaries
         # so its blocks are byte-identical to an uninterrupted run
         # (FIXTURES.md invariant 4)
         plan = prev_meta["plan"]
         gdicts = gdicts_from_json(prev_meta.get("gdicts", {}), logical)
+        forced = frozenset(prev_meta["config"].get("forced", []))
     if plan is None:
         plan, stats = sample_plan(df, cfg)
         # global (external) dictionary for low-cardinality columns: one exact
@@ -428,7 +439,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         if cfg.global_dict_max_card > 0:
             cands = [
                 c for c, codec in plan.items()
-                if codec == "dict" and logical[c] != "binary"
+                if codec == "dict" and logical[c] != "binary" and c not in forced
                 and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
             ]
             if cands:
@@ -479,6 +490,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                         "order_by": order_by,
                         "salt": cfg.salt,
                         "salt_col": cfg.salt_col,
+                        "forced": sorted(forced),
                     }
                 ),
                 json.dumps(gdicts_to_json(gdicts), sort_keys=True),
@@ -503,7 +515,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     blocks = (
         bucketed.repartition(cfg.buckets, "_bucket")
         .mapInArrow(
-            partial(_encode_partition, logical, plan, cfg.block_size, order_by, gdicts),
+            partial(_encode_partition, logical, plan, cfg.block_size, order_by, gdicts, forced),
             BLOCKS_SCHEMA,
         )
     )

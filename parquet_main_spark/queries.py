@@ -39,19 +39,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _ENCODE_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _encoded_dir(spark: SparkSession, sf_dir: str, table: str, bucket_key: str) -> str:
-    """Encode a testdata table with the engine once per (sf_dir, table);
-    reused by every engine query in the same session."""
-    key = (sf_dir, table)
+def _encoded_dir(spark: SparkSession, sf_dir: str, table: str, bucket_key: str,
+                 name: str | None = None, transform=None, **cfg_kw) -> str:
+    """Encode a testdata table with the engine once per (sf_dir, name);
+    reused by every engine query in the same session. ``transform`` derives
+    the input DataFrame; extra kwargs reach EncodeConfig (e.g. plan_override
+    to force a codec — the reference's forced per-column encoding,
+    ParquetWriterHelper.java:129-293)."""
+    key = (sf_dir, name or table)
     if key not in _ENCODE_CACHE:
         from .codecs import FORMAT_VERSION
         from .operators.encode import EncodeConfig, encode_table
 
         out = os.path.join(tempfile.gettempdir(), f"pms_enc_v{FORMAT_VERSION}",
-                           sf_dir.strip("/").replace("/", "_"), table)
+                           sf_dir.strip("/").replace("/", "_"), name or table)
         cfg = EncodeConfig(out_dir=out, bucket_key=bucket_key, buckets=8,
-                           block_size=8192, snapshot_id=f"{table}@{sf_dir}")
-        encode_table(spark, _t(spark, sf_dir, table), cfg)
+                           block_size=8192, snapshot_id=f"{name or table}@{sf_dir}",
+                           **cfg_kw)
+        df = _t(spark, sf_dir, table)
+        if transform is not None:
+            df = transform(df)
+        encode_table(spark, df, cfg)
         _ENCODE_CACHE[key] = out
     return _ENCODE_CACHE[key]
 
@@ -378,13 +386,15 @@ FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000 GROUP BY l_orderkey
 
 
 def eng_ts_filter(spark, sf_dir):
-    """Timestamp range predicate on delta/FOR-encoded column."""
+    """Timestamp range predicate on delta/FOR-encoded column. Cutoff sits
+    INSIDE the events data range (Jan 2024) so the decode + zone-map path is
+    verified on a non-empty, non-total subset."""
     from .operators.decode import Predicate, scan
 
     out = _encoded_dir(spark, sf_dir, "events", "event_id")
     from datetime import datetime, timezone
 
-    cut = int(datetime(1997, 1, 1, tzinfo=timezone.utc).timestamp() * 1_000_000)
+    cut = int(datetime(2024, 1, 15, tzinfo=timezone.utc).timestamp() * 1_000_000)
     rows = scan(spark, out, columns=["event_id", "ts", "event_type"],
                 predicate=Predicate("ts", "<", cut))
     return rows.groupBy("event_type").agg(F.count("*").alias("n"))
@@ -392,8 +402,151 @@ def eng_ts_filter(spark, sf_dir):
 
 ENG_TS_SQL = """
 SELECT event_type, count(*) AS n
-FROM events WHERE ts < TIMESTAMP '1997-01-01 00:00:00'
+FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
 GROUP BY event_type
+"""
+
+
+def eng_binary_filter(spark, sf_dir):
+    """Predicate pushed to a BINARY column: zone maps carry hex-prefix
+    bounds, the row mask compares raw bytes (round-1 bug class: binary
+    stats were never written, pruning everything)."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(
+        spark, sf_dir, "documents", "doc_id", name="documents_blob",
+        transform=lambda d: d.select(
+            "doc_id", F.col("text").cast("binary").alias("blob"), "lang"
+        ),
+    )
+    return scan(spark, out, columns=["doc_id", "lang"],
+                predicate=Predicate("blob", "between", (b"s", b"u")))
+
+
+ENG_BINARY_SQL = """
+SELECT doc_id, lang FROM documents WHERE text >= 's' AND text <= 'u'
+"""
+
+
+def eng_compound_filter(spark, sf_dir):
+    """Conjunction of three pushed predicates across different columns —
+    zone-map intersection + AND-ed row masks (the reference composes a page
+    filter AND a row filter per scan, SkippingColumnReaderImpl.java:430-437)."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
+    rows = scan(
+        spark, out, columns=["l_orderkey", "l_linenumber", "l_quantity"],
+        predicate=[
+            Predicate("l_orderkey", "between", (2000, 6000)),
+            Predicate("l_quantity", ">=", 25.0),
+            Predicate("l_linenumber", "<=", 3),
+        ],
+    )
+    return rows.groupBy("l_linenumber").agg(
+        F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    )
+
+
+ENG_COMPOUND_SQL = """
+SELECT l_linenumber, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem
+WHERE l_orderkey BETWEEN 2000 AND 6000 AND l_quantity >= 25.0 AND l_linenumber <= 3
+GROUP BY l_linenumber
+"""
+
+
+def _codec_forced_docs(spark, sf_dir) -> str:
+    """One encoded copy of documents with four codecs PINNED via
+    plan_override (strict: no fallback) — the driver-gated proof that each
+    writer/reader pair round-trips, the analog of the reference's per-codec
+    writer tests (VarlenBitPackingValuesWriterTest.java:24-138)."""
+    return _encoded_dir(
+        spark, sf_dir, "documents", "doc_id", name="documents_codecs",
+        transform=lambda d: d.select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            (F.col("n_chars") > 300).alias("is_long"),
+        ),
+        order_by=["text"],
+        global_dict_max_card=0,  # keep dict LOCAL (per-block sorted dict)
+        plan_override={"text": "prefix", "n_chars": "plain",
+                       "lang": "dict", "is_long": "rle"},
+    )
+
+
+def eng_codec_prefix(spark, sf_dir):
+    """DELTA_BYTE_ARRAY analog forced on text (blocks sorted by text so
+    shared prefixes exist); range predicate + exact string decode."""
+    from .operators.decode import Predicate, scan
+
+    out = _codec_forced_docs(spark, sf_dir)
+    return scan(spark, out, columns=["doc_id", "text"],
+                predicate=Predicate("text", "between", ("a", "f")))
+
+
+ENG_PREFIX_SQL = "SELECT doc_id, text FROM documents WHERE text BETWEEN 'a' AND 'f'"
+
+
+def eng_codec_plain(spark, sf_dir):
+    """PLAIN forced on n_chars: fixed-width decode + zone-map range prune."""
+    from .operators.decode import Predicate, scan
+
+    out = _codec_forced_docs(spark, sf_dir)
+    return scan(spark, out, columns=["doc_id", "n_chars"],
+                predicate=Predicate("n_chars", "between", (100, 300)))
+
+
+ENG_PLAIN_SQL = "SELECT doc_id, n_chars FROM documents WHERE n_chars BETWEEN 100 AND 300"
+
+
+def eng_codec_localdict(spark, sf_dir):
+    """Per-block (local) sorted dictionary with in-situ isin translation —
+    global dict disabled, so the OPOP-analog path is what answers."""
+    from .operators.decode import Predicate, scan
+
+    out = _codec_forced_docs(spark, sf_dir)
+    return scan(spark, out, columns=["doc_id", "lang", "source"],
+                predicate=Predicate("lang", "isin", ["en", "de"]))
+
+
+ENG_LOCALDICT_SQL = "SELECT doc_id, lang, source FROM documents WHERE lang IN ('en', 'de')"
+
+
+def eng_codec_bool_rle(spark, sf_dir):
+    """Boolean RLE width-1 (E10 analog) round-trip through the engine."""
+    from .operators.decode import scan
+
+    out = _codec_forced_docs(spark, sf_dir)
+    return scan(spark, out, columns=["is_long"]).groupBy("is_long").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+ENG_BOOL_SQL = "SELECT n_chars > 300 AS is_long, count(*) AS n_docs FROM documents GROUP BY 1"
+
+
+def eng_codec_for(spark, sf_dir):
+    """Frame-of-reference + bit-pack (VARLEN_BIT_PACKED analog, E1) forced on
+    both int columns; range predicate exercises FOR decode + pruning."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(
+        spark, sf_dir, "events", "event_id", name="events_for",
+        transform=lambda d: d.select("event_id", "user_id"),
+        plan_override={"event_id": "for", "user_id": "for"},
+    )
+    rows = scan(spark, out, columns=["event_id", "user_id"],
+                predicate=Predicate("event_id", "between", (1000, 3000)))
+    return rows.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )
+
+
+ENG_FOR_SQL = """
+SELECT user_id, count(*) AS n_events, min(event_id) AS min_event, max(event_id) AS max_event
+FROM events WHERE event_id BETWEEN 1000 AND 3000 GROUP BY user_id
 """
 
 
@@ -870,6 +1023,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_insitu_isin": eng_insitu_isin,
     "eng_prune_range": eng_prune_range,
     "eng_ts_filter": eng_ts_filter,
+    "eng_binary_filter": eng_binary_filter,
+    "eng_compound_filter": eng_compound_filter,
+    "eng_codec_for": eng_codec_for,
+    "eng_codec_prefix": eng_codec_prefix,
+    "eng_codec_plain": eng_codec_plain,
+    "eng_codec_localdict": eng_codec_localdict,
+    "eng_codec_bool_rle": eng_codec_bool_rle,
     "ops_dedup_exact": ops_dedup_exact,
     "ops_token_count": ops_token_count,
     "ops_quality_score": ops_quality_score,
@@ -901,6 +1061,13 @@ ORACLES: dict[str, str] = {
     "eng_insitu_isin": ENG_ISIN_SQL,
     "eng_prune_range": ENG_PRUNE_SQL,
     "eng_ts_filter": ENG_TS_SQL,
+    "eng_binary_filter": ENG_BINARY_SQL,
+    "eng_compound_filter": ENG_COMPOUND_SQL,
+    "eng_codec_for": ENG_FOR_SQL,
+    "eng_codec_prefix": ENG_PREFIX_SQL,
+    "eng_codec_plain": ENG_PLAIN_SQL,
+    "eng_codec_localdict": ENG_LOCALDICT_SQL,
+    "eng_codec_bool_rle": ENG_BOOL_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
     "ops_token_count": OPS_TOKENS_SQL,
     "ops_quality_score": OPS_QUALITY_SQL,
