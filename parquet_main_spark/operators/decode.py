@@ -31,6 +31,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -147,35 +148,163 @@ def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
     return _OPS[pred.op](vals, pred.value)
 
 
-def _decode_partition(
-    logical: dict[str, str],
-    columns: list[str],
-    preds: list[Predicate],
-    gdicts: dict,
-    it,
-):
-    """mapInArrow partition decoder: blocks arrive hash-partitioned by
-    bucket, so (bucket, block_id) groups are whole here; grouping in Arrow
-    avoids Spark's grouped-map overhead (same rationale as the encoder)."""
-    batches = list(it)
-    if not batches:
-        return
-    tbl = pa.Table.from_batches(batches)
-    if tbl.num_rows == 0:
-        return
-    b = tbl.column("bucket").to_numpy()
-    blk = tbl.column("block_id").to_numpy()
-    keys = b.astype(np.int64) << 32 | blk.astype(np.int64)
-    order = np.argsort(keys, kind="stable")
-    sorted_keys = keys[order]
-    starts = np.flatnonzero(np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1])))
-    bounds = np.append(starts, len(sorted_keys))
-    for i in range(len(starts)):
-        idx = order[bounds[i] : bounds[i + 1]]
-        group = tbl.take(pa.array(idx))
-        out = _decode_group(logical, columns, preds, False, None, group, gdicts)
+def _three_valued_and(a, b):
+    if a is False or b is False:
+        return False
+    if a is None or b is None:
+        return None
+    return True
+
+
+def _three_valued_or(a, b):
+    if a is True or b is True:
+        return True
+    if a is None or b is None:
+        return None
+    return False
+
+
+def _block_survives(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) -> bool:
+    """Python mirror of :func:`prune_filter` for the in-task zone-map prune
+    (same three-valued semantics: None bounds = unknown -> keep unless the
+    block is all-null)."""
+    enc = (lambda x: bytes(x).hex()) if lt == "binary" else (lambda x: x)
+
+    def ge(a, b):
+        return None if a is None else a >= b
+
+    def le(a, b):
+        return None if a is None else a <= b
+
+    op, v = pred.op, pred.value
+    if op == "=":
+        cond = _three_valued_and(le(lo, enc(v)), ge(hi, enc(v)))
+    elif op == "<":
+        cond = None if lo is None else lo < enc(v)
+    elif op == "<=":
+        cond = le(lo, enc(v))
+    elif op == ">":
+        cond = None if hi is None else hi > enc(v)
+    elif op == ">=":
+        cond = ge(hi, enc(v))
+    elif op == "between":
+        cond = _three_valued_and(ge(hi, enc(v[0])), le(lo, enc(v[1])))
+    elif op == "isin":
+        if not len(v):
+            return False
+        cond = False
+        for x in v:
+            cond = _three_valued_or(cond, _three_valued_and(le(lo, enc(x)), ge(hi, enc(x))))
+    elif op == "!=":
+        eq = _three_valued_and(
+            None if lo is None else lo == enc(v), None if hi is None else hi == enc(v)
+        )
+        cond = None if eq is None else not eq
+    else:
+        raise ValueError(f"unknown predicate op {pred.op!r}")
+    if cond is None:
+        return null_count < n
+    return cond
+
+
+_STATS_COLS = ["block_id", "col", "n", "null_count",
+               "min_int", "max_int", "min_num", "max_num", "min_str", "max_str"]
+_DATA_COLS = ["block_id", "col", "codec", "params", "n", "null_count",
+              "validity", "data", "dict"]
+
+
+def _surviving_blocks(stats: pa.Table, preds: list[Predicate], logical: dict[str, str]):
+    """Set of block_ids passing ALL predicates' zone maps (None = no
+    predicates -> read everything)."""
+    if not preds:
+        return None
+    cols = stats.column("col").to_pylist()
+    bids = stats.column("block_id").to_pylist()
+    out = None
+    for pred in preds:
+        lt = logical[pred.col]
+        lo_name, hi_name = _stat_cols(lt)
+        los = stats.column(lo_name).to_pylist()
+        his = stats.column(hi_name).to_pylist()
+        ncs = stats.column("null_count").to_pylist()
+        ns = stats.column("n").to_pylist()
+        keep = {
+            bids[i]
+            for i in range(len(cols))
+            if cols[i] == pred.col
+            and _block_survives(pred, lt, los[i], his[i], ncs[i], ns[i])
+        }
+        out = keep if out is None else (out & keep)
+    return out
+
+
+def _decode_file(path: str, logical: dict[str, str], columns: list[str],
+                 preds: list[Predicate], gdicts: dict):
+    """Decode one bucket file: zone-map prune from a stats-only columnar read
+    (block blobs are never fetched for pruned blocks — the lazy-page analog,
+    CompressedDataPageV1.java:30-45), then STREAM the surviving blocks row
+    group by row group; at most one incomplete block group is buffered across
+    a row-group boundary, never the whole file."""
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(path)
+    needed = list(dict.fromkeys(list(columns) + [p.col for p in preds]))
+    surviving = None
+    if preds:
+        stats = f.read(columns=_STATS_COLS)
+        surviving = _surviving_blocks(stats, preds, logical)
+        if not surviving:
+            return
+    md = f.metadata
+    bid_idx = md.schema.to_arrow_schema().get_field_index("block_id")
+    pending: dict[int, list[pa.Table]] = {}
+    pending_rows: dict[int, int] = {}
+    for rg in range(md.num_row_groups):
+        if surviving is not None:
+            st = md.row_group(rg).column(bid_idx).statistics
+            if st is not None and st.has_min_max:
+                if not any(st.min <= b <= st.max for b in surviving):
+                    continue  # row-group skip: no surviving block inside
+        tbl = f.read_row_group(rg, columns=_DATA_COLS)
+        keep = pc.is_in(tbl.column("col"), value_set=pa.array(needed))
+        if surviving is not None:
+            keep = pc.and_(
+                keep,
+                pc.is_in(
+                    tbl.column("block_id"), value_set=pa.array(sorted(surviving), pa.int32())
+                ),
+            )
+        tbl = tbl.filter(keep)
+        if tbl.num_rows == 0:
+            continue
+        bids = tbl.column("block_id").to_numpy()
+        for bid in np.unique(bids).tolist():
+            part = tbl.filter(pc.equal(tbl.column("block_id"), pa.scalar(int(bid), pa.int32())))
+            pending.setdefault(bid, []).append(part)
+            pending_rows[bid] = pending_rows.get(bid, 0) + part.num_rows
+        # flush complete groups (a block contributes exactly one row per
+        # requested column); only boundary-straddling groups stay buffered
+        for bid in [b for b, c in pending_rows.items() if c >= len(needed)]:
+            group = pa.concat_tables(pending.pop(bid))
+            del pending_rows[bid]
+            out = _decode_group(logical, columns, preds, False, None, group, gdicts)
+            if out.num_rows:
+                yield from out.to_batches()
+    for bid in sorted(pending):  # defensive: flush any leftovers
+        out = _decode_group(logical, columns, preds, False, None,
+                            pa.concat_tables(pending[bid]), gdicts)
         if out.num_rows:
             yield from out.to_batches()
+
+
+def _decode_tasks(logical: dict[str, str], columns: list[str],
+                  preds: list[Predicate], gdicts: dict, it):
+    """mapInArrow over (path) task rows — each task decodes whole bucket
+    files, so (block, column) groups are never split across tasks and no
+    block blob ever crosses a shuffle."""
+    for batch in it:
+        for path in batch.column("path").to_pylist():
+            yield from _decode_file(path, logical, columns, preds, gdicts)
 
 
 def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) -> np.ndarray:
@@ -268,6 +397,18 @@ def _as_pred_list(predicate: Predicate | list[Predicate] | None) -> list[Predica
     return list(predicate)
 
 
+def _list_block_files(out_dir: str) -> list[str]:
+    """Bucket files under out_dir/blocks (local/posix paths; on a real
+    cluster this is one Hadoop FS listing — same driver-side cost Spark's
+    own file index pays)."""
+    import glob
+
+    from .encode import _local_path
+
+    root = _local_path(f"{out_dir}/blocks")
+    return sorted(glob.glob(f"{root}/bucket=*/*.parquet"))
+
+
 def scan(
     spark: SparkSession,
     out_dir: str,
@@ -277,7 +418,16 @@ def scan(
     """Decode the encoded table back to rows, with block pruning + pushed
     predicates (a list is a conjunction: zone-map conditions intersect, row
     masks AND — the reference's pageFilter+rowFilter composition,
-    SkippingColumnReaderImpl.java:430-437). Row order is not defined."""
+    SkippingColumnReaderImpl.java:430-437). Row order is not defined.
+
+    Scale design: one task per bucket file, decoded in place with pyarrow —
+    no Exchange ever touches a block blob (round 1 repartitioned every
+    surviving blob across the cluster). Zone-map pruning runs INSIDE each
+    task from a stats-only columnar read, so pruned blobs are never fetched
+    from disk and the prune itself is distributed. Parallelism = number of
+    buckets; at scale you raise EncodeConfig.buckets (same knob that sizes
+    encode tasks), keeping #files >> cores.
+    """
     meta = read_meta(spark, out_dir)
     logical: dict[str, str] = meta["logical"]
     from .encode import gdicts_from_json
@@ -286,29 +436,13 @@ def scan(
     preds = _as_pred_list(predicate)
     if columns is None:
         columns = list(logical)
-    blocks = read_blocks(spark, out_dir)
-
-    needed = set(columns) | {p.col for p in preds}
-    blocks = blocks.filter(F.col("col").isin(*needed))  # column pruning, pushed to parquet
-
-    surviving = None
-    for pred in preds:
-        lt = logical[pred.col]
-        surv_p = (
-            blocks.filter(F.col("col") == pred.col)
-            .filter(prune_filter(pred, lt))
-            .select("bucket", "block_id")
-        )
-        surviving = surv_p if surviving is None else surviving.join(
-            surv_p, ["bucket", "block_id"], "left_semi"
-        )
-    if surviving is not None:
-        blocks = blocks.join(surviving, ["bucket", "block_id"], "left_semi")
-
+    files = _list_block_files(out_dir)
     out_schema = ", ".join(f"`{c}` {SPARK_FROM_LOGICAL[logical[c]]}" for c in columns)
-    nparts = max(1, spark.sparkContext.defaultParallelism)
-    return blocks.repartition(nparts, "bucket").mapInArrow(
-        partial(_decode_partition, logical, list(columns), preds, gdicts), out_schema
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    tasks = spark.createDataFrame([(p,) for p in files], "path string").repartition(len(files))
+    return tasks.mapInArrow(
+        partial(_decode_tasks, logical, list(columns), preds, gdicts), out_schema
     )
 
 

@@ -27,6 +27,7 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -280,7 +281,7 @@ def _encode_partition(
     buckets = np.unique(tbl.column("_bucket").to_numpy())
     col = tbl.column("_bucket")
     for bucket in buckets.tolist():
-        group = tbl.filter(pa.compute.equal(col, pa.scalar(int(bucket), pa.int32())))
+        group = tbl.filter(pc.equal(col, pa.scalar(int(bucket), pa.int32())))
         yield from _encode_group(
             logical, plan, block_size, order_by, int(bucket), group, gdicts, forced
         ).to_batches()
@@ -310,7 +311,7 @@ def _encode_group(
             arr = chunk.column(col)
             vals, mask = arrow_to_dense(arr, lt)
             if lt in ("string", "binary"):
-                nbytes = pa.compute.sum(pa.compute.binary_length(arr)).as_py() or 0
+                nbytes = pc.sum(pc.binary_length(arr)).as_py() or 0
                 raw = int(nbytes) + 4 * len(vals)
             else:
                 raw = int(np.ascontiguousarray(vals).nbytes)
