@@ -709,14 +709,30 @@ FROM mh GROUP BY doc_id, CAST(k // 4 AS INT)
 
 
 def ops_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-dup candidate pairs by exact 3-shingle Jaccard (top 20)."""
+    """Exact 3-shingle Jaccard over MINHASH-BAND CANDIDATE PAIRS (top 20).
+
+    Scale-safe form of near-dup scoring: the quadratic shingle self-join
+    (any shingle shared by k docs emits k^2 rows — fatal on hot shingles at
+    Common-Crawl scale) is replaced by LSH candidate generation: only pairs
+    colliding in a minhash band are scored, and the exact Jaccard join is
+    restricted to those docs. Candidate count ~ #near-dups, not #docs^2."""
     sh = _shingles(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+    bands = ops_minhash_bands(spark, sf_dir)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b2"), F.col("shingle").alias("shingle_b"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(sa_sh, "doc_a")
+        .join(sb_sh, (F.col("doc_b") == F.col("doc_b2")) & (F.col("shingle") == F.col("shingle_b")))
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
@@ -732,11 +748,28 @@ def ops_ngram_jaccard_pairs(spark, sf_dir):
 
 OPS_JACCARD_SQL = f"""
 WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLE_SQL})),
+mh AS (
+  SELECT doc_id, k, min(md5(shingle || ':' || CAST(k AS VARCHAR))) AS h
+  FROM sh, generate_series(0, 15) t(k)
+  GROUP BY doc_id, k
+),
+bands AS (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         md5(string_agg(h, ',' ORDER BY k)) AS band_hash
+  FROM mh GROUP BY doc_id, CAST(k // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b, inter,
        round(inter * 1.0 / (sa.sz + sb.sz - inter), 4) AS jaccard
@@ -823,8 +856,15 @@ LIMIT 10
 
 
 def ops_neardup_embeddings(spark, sf_dir):
-    """Embedding near-dup: top-20 most-similar pairs by cosine."""
+    """Embedding near-dup: top-20 most-similar pairs by exact cosine AMONG
+    LSH-BUCKET-MATE CANDIDATES.
+
+    Scale-safe form: candidates come from an equi-join on the sign-LSH
+    bucket (hash join keyed on the bucket — no cross/theta join in the
+    plan), then exact cosine reranks only those pairs. O(sum bucket^2)
+    instead of O(N^2); at 10^9 vectors you widen the bucket bit count."""
     e = _t(spark, sf_dir, "embeddings")
+    b = _lsh_buckets(spark, sf_dir)
     norm = F.sqrt(
         F.aggregate(
             F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
@@ -832,16 +872,17 @@ def ops_neardup_embeddings(spark, sf_dir):
             lambda acc, v: acc + v,
         )
     )
-    en = e.select("vec_id", "embedding", norm.alias("nrm"))
+    en = e.join(b, "vec_id").select("vec_id", "embedding", "lsh_bucket", norm.alias("nrm"))
     a = en.alias("a")
-    b = en.alias("b")
+    bb = en.alias("b")
     dot = F.aggregate(
         F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        a.join(bb, (F.col("a.lsh_bucket") == F.col("b.lsh_bucket"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
@@ -852,16 +893,17 @@ def ops_neardup_embeddings(spark, sf_dir):
     )
 
 
-OPS_NEARDUP_SQL = """
-WITH n AS (
-  SELECT vec_id, embedding,
-         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) FROM unnest(embedding) t(u))) AS nrm
-  FROM embeddings
+OPS_NEARDUP_SQL = f"""
+WITH buckets AS ({{lsh}}),
+n AS (
+  SELECT e.vec_id, e.embedding, k.lsh_bucket,
+         sqrt((SELECT sum(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)) FROM unnest(e.embedding) t(u))) AS nrm
+  FROM embeddings e JOIN buckets k ON e.vec_id = k.vec_id
 ),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.nrm AS na, b.nrm AS nb,
          CAST(unnest(a.embedding) AS DOUBLE) AS x, CAST(unnest(b.embedding) AS DOUBLE) AS y
-  FROM n a JOIN n b ON a.vec_id < b.vec_id
+  FROM n a JOIN n b ON a.lsh_bucket = b.lsh_bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, round(sum(x * y) / (any_value(na) * any_value(nb)), 4) AS cosine
 FROM p GROUP BY vec_a, vec_b
@@ -870,30 +912,43 @@ LIMIT 20
 """
 
 
+_LSH_DIMS, _LSH_PLANES = 64, 8
+
+
 def _lsh_buckets(spark, sf_dir) -> DataFrame:
     """8 deterministic pseudo-random hyperplanes: plane(i, j) =
     ((i*31 + j*17) % 7) - 3 over 0-based dim i; bucket = sign-bit string.
     The LSH 'scale path' for ANN: candidates share a bucket, so search cost
-    drops from O(N) to O(bucket)."""
-    e = _t(spark, sf_dir, "embeddings")
-    pos = e.select("vec_id", F.posexplode("embedding").alias("i", "x"))
-    js = spark.range(8).withColumnRenamed("id", "j")
-    proj = (
-        pos.crossJoin(F.broadcast(js))
-        .withColumn("plane", (F.col("i") * 31 + F.col("j") * 17) % 7 - 3)
-        .groupBy("vec_id", "j")
-        .agg(F.sum(F.col("x").cast("double") * F.col("plane")).alias("s"))
-        .withColumn("bit", F.when(F.round(F.col("s"), 6) >= 0, "1").otherwise("0"))
-    )
-    return (
-        proj.groupBy("vec_id")
-        .agg(
-            F.concat_ws(
-                "",
-                F.transform(F.sort_array(F.collect_list(F.struct("j", "bit"))), lambda s: s.getField("bit")),
-            ).alias("lsh_bucket")
-        )
-    )
+    drops from O(N) to O(bucket).
+
+    Implementation is a shuffle-free mapInArrow numpy matmul: one
+    (n x 64) @ (64 x 8) product per Arrow batch — zero intermediate rows
+    (round 1 posexploded 64 dims x crossJoined 8 planes = 512 rows/vector
+    plus a groupBy shuffle)."""
+    import pyarrow as pa
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def project(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as np
+
+        i = np.arange(_LSH_DIMS)[:, None]
+        j = np.arange(_LSH_PLANES)[None, :]
+        planes = ((i * 31 + j * 17) % 7 - 3).astype(np.float64)
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            s = np.round(flat.reshape(-1, _LSH_DIMS) @ planes, 6)
+            ch = np.where(s >= 0, 49, 48).astype(np.uint8)  # '1' / '0'
+            buckets = np.ascontiguousarray(ch).view(f"S{_LSH_PLANES}").ravel().astype(str)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), pa.array(buckets, type=pa.string())],
+                ["vec_id", "lsh_bucket"],
+            )
+
+    return e.mapInArrow(project, "vec_id bigint, lsh_bucket string")
 
 
 _LSH_BUCKETS_SQL = """
@@ -908,6 +963,9 @@ bits AS (
 )
 SELECT vec_id, string_agg(bit, '' ORDER BY j) AS lsh_bucket FROM bits GROUP BY vec_id
 """
+
+
+OPS_NEARDUP_SQL = OPS_NEARDUP_SQL.format(lsh=_LSH_BUCKETS_SQL)
 
 
 def ops_ann_lsh_buckets(spark, sf_dir):
@@ -972,29 +1030,34 @@ LIMIT 5
 
 def ops_blob_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary blobs -> typed metadata via a
-    vectorized mapInPandas 'decoder' (real decode stubbed deterministically —
-    image/audio libs absent; the Spark-side schema/batch plumbing is real)."""
-    import pandas as pd
+    vectorized mapInArrow 'decoder' (real image/audio decode stubbed —
+    libs absent; the Spark-side schema/batch plumbing is real). Everything
+    is Arrow-kernel or JVM builtin — zero per-row Python."""
+    import pyarrow as pa
 
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("blob")
     )
 
-    def extract(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
+    def extract(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.compute as pc
 
-        for pdf in it:
-            blobs = pdf["blob"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": blobs.map(len),
-                    "magic": blobs.map(lambda b: bytes(b[:8]).decode("utf-8", "replace")),
-                    "content_md5": blobs.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
-                }
+        for batch in it:
+            blob = batch.column("blob")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(pc.binary_length(blob), pa.int64()),
+                    pc.cast(pc.binary_slice(blob, 0, 8), pa.string()),
+                    blob,
+                ],
+                ["doc_id", "n_bytes", "magic", "blob"],
             )
 
-    return d.mapInPandas(extract, "doc_id bigint, n_bytes bigint, magic string, content_md5 string")
+    out = d.mapInArrow(extract, "doc_id bigint, n_bytes bigint, magic string, blob binary")
+    # content hash stays JVM-side (F.md5 is the exact builtin; per-row
+    # Python hashlib in the hot path violates the north rule)
+    return out.select("doc_id", "n_bytes", "magic", F.md5("blob").alias("content_md5"))
 
 
 OPS_BLOB_SQL = """
