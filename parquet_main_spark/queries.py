@@ -550,6 +550,29 @@ FROM events WHERE event_id BETWEEN 1000 AND 3000 GROUP BY user_id
 """
 
 
+def eng_datasource_scan(spark, sf_dir):
+    """Transparent read-back through the registered Python Data Source
+    (spark.read.format): the .filter() is pushed into the source via
+    Catalyst filter pushdown and becomes an engine Predicate — zone-map
+    prune + in-situ dict translation run inside the partition read."""
+    from .sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    df = spark.read.format(FORMAT_NAME).load(out)
+    return (
+        df.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+    )
+
+
+ENG_DATASOURCE_SQL = """
+SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM documents WHERE lang = 'en' GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # 3. training-data pipeline operators
 
@@ -1093,6 +1116,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_codec_plain": eng_codec_plain,
     "eng_codec_localdict": eng_codec_localdict,
     "eng_codec_bool_rle": eng_codec_bool_rle,
+    "eng_datasource_scan": eng_datasource_scan,
     "ops_dedup_exact": ops_dedup_exact,
     "ops_token_count": ops_token_count,
     "ops_quality_score": ops_quality_score,
@@ -1131,6 +1155,7 @@ ORACLES: dict[str, str] = {
     "eng_codec_plain": ENG_PLAIN_SQL,
     "eng_codec_localdict": ENG_LOCALDICT_SQL,
     "eng_codec_bool_rle": ENG_BOOL_SQL,
+    "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
     "ops_token_count": OPS_TOKENS_SQL,
     "ops_quality_score": OPS_QUALITY_SQL,

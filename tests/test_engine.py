@@ -222,6 +222,24 @@ def test_nan_float_blocks_not_pruned(spark, tmp_path):
     assert got.count() == df.filter("x <= 50.0").count()
 
 
+def test_datasource_roundtrip_and_pushdown(spark, encoded):
+    """spark.read.format('pms_encoded') returns the exact table, and a
+    .filter() is pushed into the source (consumed by pushFilters) so the
+    result still matches the oracle filter."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    out, df, _ = encoded
+    got = spark.read.format(FORMAT_NAME).load(out)
+    assert got.count() == N_ROWS
+    g = _sorted_pdf(got.select("url", "lang", "warc_ts"))
+    w = _sorted_pdf(df.select("url", "lang", "warc_ts"))
+    pd.testing.assert_frame_equal(g.reset_index(drop=True), w.reset_index(drop=True))
+    # pushed filters: equality, range, isin
+    for cond in ("lang = 'en'", "url >= 'https://host5'", "lang in ('de','fr')"):
+        assert got.filter(cond).count() == df.filter(cond).count(), cond
+
+
 def test_stale_buckets_cleared_on_new_snapshot(spark, tmp_path):
     """Re-encoding a FILTERED input into the same out_dir under a new
     snapshot must not leak phantom rows from the prior snapshot's buckets
