@@ -25,25 +25,30 @@ from .bitpack import bit_width
 #: bump when any on-disk block/codec layout changes (readers reject mismatches)
 FORMAT_VERSION = 3
 
-INT_TYPES = {"int32", "int64", "timestamp", "timestamp_ntz"}
+INT_TYPES = {"int8", "int16", "int32", "int64", "timestamp", "timestamp_ntz", "date32"}
 FLOAT_TYPES = {"float32", "float64"}
 VAR_TYPES = {"string", "binary"}
 
 _NP_DTYPE = {
+    "int8": np.int8,
+    "int16": np.int16,
     "int32": np.int32,
     "int64": np.int64,
     "timestamp": np.int64,  # microseconds since epoch
     "timestamp_ntz": np.int64,
+    "date32": np.int32,  # days since epoch
     "float32": np.float32,
     "float64": np.float64,
     "bool": np.bool_,
 }
 
+#: decode-side narrowing: codecs work in int64; these come back narrower
+NARROW_INT = {"int8": np.int8, "int16": np.int16, "int32": np.int32, "date32": np.int32}
+
+_INT_CODECS = ["dict", "rle", "for", "delta", "plain"]
+
 _DICT_KIND = {
-    "int32": dict_codec.KIND_INT64,
-    "int64": dict_codec.KIND_INT64,
-    "timestamp": dict_codec.KIND_INT64,
-    "timestamp_ntz": dict_codec.KIND_INT64,
+    **{t: dict_codec.KIND_INT64 for t in INT_TYPES},
     "float32": dict_codec.KIND_FLOAT64,
     "float64": dict_codec.KIND_FLOAT64,
     "string": dict_codec.KIND_UTF8,
@@ -52,10 +57,7 @@ _DICT_KIND = {
 
 #: codecs applicable per logical type, in fallback preference order
 APPLICABLE = {
-    "int32": ["dict", "rle", "for", "delta", "plain"],
-    "int64": ["dict", "rle", "for", "delta", "plain"],
-    "timestamp": ["dict", "rle", "for", "delta", "plain"],
-    "timestamp_ntz": ["dict", "rle", "for", "delta", "plain"],
+    **{t: list(_INT_CODECS) for t in INT_TYPES},
     "bool": ["rle", "plain"],
     "float32": ["dict", "plain"],
     "float64": ["dict", "plain"],
@@ -129,8 +131,8 @@ def decode_block(
         out = rle.decode(data).astype(np.int64) + int(params.get("base", 0))
     elif codec == "dict":
         vals = dict_codec.decode(data, dict_blob)
-        if logical_type == "int32":
-            return vals.astype(np.int32)
+        if logical_type in NARROW_INT:
+            return vals.astype(NARROW_INT[logical_type])
         if logical_type == "float32":
             return vals.astype(np.float32)
         return vals
@@ -140,8 +142,8 @@ def decode_block(
         return prefix.decode(data, binary=logical_type == "binary")
     else:
         raise ValueError(f"unknown codec {codec!r}")
-    if logical_type == "int32":
-        return out.astype(np.int32)
+    if logical_type in NARROW_INT:
+        return out.astype(NARROW_INT[logical_type])
     return out
 
 

@@ -17,6 +17,8 @@ import pyarrow as pa
 from pyspark.sql import types as T
 
 LOGICAL_FROM_SPARK = {
+    "byte": "int8",
+    "short": "int16",
     "integer": "int32",
     "long": "int64",
     "float": "float32",
@@ -24,11 +26,14 @@ LOGICAL_FROM_SPARK = {
     "boolean": "bool",
     "timestamp": "timestamp",
     "timestamp_ntz": "timestamp_ntz",
+    "date": "date32",
     "string": "string",
     "binary": "binary",
 }
 
 SPARK_FROM_LOGICAL = {
+    "int8": "tinyint",
+    "int16": "smallint",
     "int32": "int",
     "int64": "bigint",
     "float32": "float",
@@ -36,11 +41,14 @@ SPARK_FROM_LOGICAL = {
     "bool": "boolean",
     "timestamp": "timestamp",
     "timestamp_ntz": "timestamp_ntz",
+    "date32": "date",
     "string": "string",
     "binary": "binary",
 }
 
 _PA_FROM_LOGICAL = {
+    "int8": pa.int8(),
+    "int16": pa.int16(),
     "int32": pa.int32(),
     "int64": pa.int64(),
     "float32": pa.float32(),
@@ -48,6 +56,7 @@ _PA_FROM_LOGICAL = {
     "bool": pa.bool_(),
     "timestamp": pa.timestamp("us", tz="UTC"),
     "timestamp_ntz": pa.timestamp("us"),
+    "date32": pa.date32(),
     "string": pa.string(),
     "binary": pa.binary(),
 }
@@ -77,6 +86,8 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
         arr = arr.drop_null()
     if lt.startswith("timestamp"):
         vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    elif lt == "date32":
+        vals = arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
     elif lt == "binary":
         vals = np.array(arr.to_pylist(), dtype=object) if len(arr) else np.empty(0, dtype=object)
     else:
@@ -92,6 +103,8 @@ def dense_to_arrow(values: np.ndarray, mask: np.ndarray | None, lt: str) -> pa.A
     if mask is None:
         if lt.startswith("timestamp"):
             return pa.array(np.ascontiguousarray(values, dtype=np.int64)).cast(typ)
+        if lt == "date32":
+            return pa.array(np.ascontiguousarray(values, dtype=np.int32)).cast(typ)
         return pa.array(values, type=typ)
     n = len(mask)
     if lt in ("string", "binary"):
@@ -99,9 +112,9 @@ def dense_to_arrow(values: np.ndarray, mask: np.ndarray | None, lt: str) -> pa.A
         full[:] = None
         full[mask] = values
         return pa.array(full, type=typ)
-    dtype = {"int32": np.int32, "int64": np.int64, "timestamp": np.int64,
-             "timestamp_ntz": np.int64, "float32": np.float32, "float64": np.float64,
-             "bool": np.bool_}[lt]
+    dtype = {"int8": np.int8, "int16": np.int16, "int32": np.int32, "int64": np.int64,
+             "timestamp": np.int64, "timestamp_ntz": np.int64, "date32": np.int32,
+             "float32": np.float32, "float64": np.float64, "bool": np.bool_}[lt]
     full = np.zeros(n, dtype=dtype)
     full[mask] = values
     arr = pa.array(full, mask=~mask)

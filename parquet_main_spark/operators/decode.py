@@ -62,7 +62,9 @@ def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def _stat_cols(lt: str) -> tuple[str, str]:
-    if lt in ("int32", "int64", "timestamp", "timestamp_ntz", "bool"):
+    from ..codecs import INT_TYPES
+
+    if lt in INT_TYPES or lt == "bool":
         return "min_int", "max_int"
     if lt in ("float32", "float64"):
         return "min_num", "max_num"

@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..codecs import APPLICABLE, encode_block, params_dumps
+from ..codecs import APPLICABLE, INT_TYPES, encode_block, params_dumps
 from ..functions.arrow import arrow_to_dense, canonical_sha, logical_types, pack_validity
 from ..plans.selector import choose_codec, column_sample_stats
 
@@ -159,7 +159,7 @@ def _encode_gdict(vals: np.ndarray, lt: str, gdict: np.ndarray):
     from ..codecs import rle
     from ..codecs.bitpack import bit_width
 
-    if lt in ("int32", "int64", "timestamp", "timestamp_ntz"):
+    if lt in INT_TYPES:
         v: np.ndarray = np.ascontiguousarray(vals, dtype=np.int64)
     elif lt in ("float32", "float64"):
         v = np.ascontiguousarray(vals, dtype=np.float64)
@@ -237,7 +237,7 @@ def _block_stats(vals: np.ndarray, lt: str):
     """
     mi = ma = mn = mx = ms = xs = None
     if len(vals):
-        if lt in ("int32", "int64", "timestamp", "timestamp_ntz"):
+        if lt in INT_TYPES:
             mi, ma = int(vals.min()), int(vals.max())
         elif lt in ("float32", "float64"):
             if not np.isnan(vals).any():
@@ -474,6 +474,8 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                         e = F.unix_micros(e)
                     elif logical[c] == "timestamp_ntz":
                         e = F.unix_micros(F.to_utc_timestamp(e, "UTC"))
+                    elif logical[c] == "date32":
+                        e = F.unix_date(e)
                     aggs.append(
                         F.slice(F.sort_array(F.collect_set(e)), 1, cfg.global_dict_max_card + 1).alias(c)
                     )
@@ -483,7 +485,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                     if not vals or len(vals) > cfg.global_dict_max_card:
                         continue  # over budget: stay on per-block dict
                     lt = logical[c]
-                    if lt in ("timestamp", "timestamp_ntz", "int32", "int64"):
+                    if lt in INT_TYPES:
                         arr = np.array(vals, dtype=np.int64)
                     elif lt in ("float32", "float64"):
                         arr = np.array(vals, dtype=np.float64)
@@ -592,7 +594,7 @@ def gdicts_from_json(d: dict[str, list], logical: dict[str, str]) -> dict[str, n
     out = {}
     for col, vals in d.items():
         lt = logical.get(col, "string")
-        if lt in ("int32", "int64", "timestamp", "timestamp_ntz"):
+        if lt in INT_TYPES:
             out[col] = np.array(vals, dtype=np.int64)
         elif lt in ("float32", "float64"):
             out[col] = np.array(vals, dtype=np.float64)

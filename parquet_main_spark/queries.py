@@ -550,6 +550,37 @@ FROM events WHERE event_id BETWEEN 1000 AND 3000 GROUP BY user_id
 """
 
 
+def eng_typed_scan(spark, sf_dir):
+    """DATE + SMALLINT column coverage: encode a derived typed view of
+    events, push a date-range predicate (int-days zone map), group by day."""
+    import datetime
+
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(
+        spark, sf_dir, "events", "event_id", name="events_typed",
+        transform=lambda d: d.select(
+            "event_id",
+            F.col("ts").cast("date").alias("day"),
+            F.col("user_id").cast("smallint").alias("user_small"),
+        ),
+    )
+    cut = (datetime.date(2024, 1, 10) - datetime.date(1970, 1, 1)).days
+    rows = scan(spark, out, columns=["day", "user_small"],
+                predicate=Predicate("day", "<", cut))
+    return rows.groupBy("day").agg(
+        F.count("*").alias("n"), F.countDistinct("user_small").alias("n_users")
+    )
+
+
+ENG_TYPED_SQL = """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+       count(DISTINCT CAST(user_id AS SMALLINT)) AS n_users
+FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-10'
+GROUP BY 1
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1116,6 +1147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_codec_plain": eng_codec_plain,
     "eng_codec_localdict": eng_codec_localdict,
     "eng_codec_bool_rle": eng_codec_bool_rle,
+    "eng_typed_scan": eng_typed_scan,
     "eng_datasource_scan": eng_datasource_scan,
     "ops_dedup_exact": ops_dedup_exact,
     "ops_token_count": ops_token_count,
@@ -1155,6 +1187,7 @@ ORACLES: dict[str, str] = {
     "eng_codec_plain": ENG_PLAIN_SQL,
     "eng_codec_localdict": ENG_LOCALDICT_SQL,
     "eng_codec_bool_rle": ENG_BOOL_SQL,
+    "eng_typed_scan": ENG_TYPED_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
     "ops_token_count": OPS_TOKENS_SQL,

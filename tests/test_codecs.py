@@ -136,6 +136,9 @@ def test_dict_predicate_translation():
 def test_encode_block_all_codecs(lt, codecs):
     if lt in ("int32", "int64"):
         vals = INT_FIXTURES["runs"].astype(np.int64 if lt == "int64" else np.int32)
+    elif lt in ("int8", "int16", "date32"):
+        dtype = {"int8": np.int8, "int16": np.int16, "date32": np.int32}[lt]
+        vals = (INT_FIXTURES["runs"][:5000] % 100).astype(dtype)
     elif lt in ("timestamp", "timestamp_ntz"):
         vals = np.cumsum(RNG.integers(0, 10**6, 5000)).astype(np.int64)
     elif lt == "bool":

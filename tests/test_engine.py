@@ -240,6 +240,30 @@ def test_datasource_roundtrip_and_pushdown(spark, encoded):
         assert got.filter(cond).count() == df.filter(cond).count(), cond
 
 
+def test_date_short_byte_roundtrip(spark, tmp_path):
+    """DATE / SMALLINT / TINYINT columns (reference accepts INT96/short types
+    via EncValuesWriterFactory.java:82-101): encode, scan back bit-identical,
+    and a date predicate prunes via the int zone map."""
+    df = spark.sql(
+        "SELECT id AS k, date_add(DATE '2024-01-01', CAST(id % 40 AS INT)) AS day, "
+        "CAST(id % 100 AS SMALLINT) AS small, CAST(id % 20 AS TINYINT) AS tiny "
+        "FROM range(2000)"
+    )
+    out = str(tmp_path / "typed")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=4,
+                                         block_size=128, snapshot_id="t1"))
+    got = _sorted_pdf(scan(spark, out), order="k")
+    want = _sorted_pdf(df, order="k")[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+    import datetime
+
+    cut_days = (datetime.date(2024, 1, 15) - datetime.date(1970, 1, 1)).days
+    n = scan(spark, out, columns=["k", "day"], predicate=Predicate("day", "<", cut_days)).count()
+    assert n == df.filter("day < DATE '2024-01-15'").count() > 0
+    n2 = scan(spark, out, columns=["k"], predicate=Predicate("small", "between", (10, 30))).count()
+    assert n2 == df.filter("small BETWEEN 10 AND 30").count() > 0
+
+
 def test_stale_buckets_cleared_on_new_snapshot(spark, tmp_path):
     """Re-encoding a FILTERED input into the same out_dir under a new
     snapshot must not leak phantom rows from the prior snapshot's buckets
