@@ -38,19 +38,32 @@ from .strutil import from_blob, to_blob
 KIND_UTF8, KIND_BINARY, KIND_INT64, KIND_FLOAT64 = 0, 1, 2, 3
 
 
+def sorted_unique(values: np.ndarray, kind: int) -> np.ndarray:
+    """Canonical (sorted, typed) dictionary values for a value set."""
+    if kind in (KIND_UTF8, KIND_BINARY):
+        return np.unique(values)
+    dtype = np.int64 if kind == KIND_INT64 else np.float64
+    return np.unique(np.ascontiguousarray(values, dtype=dtype))
+
+
+def pack_dict(uniq: np.ndarray, kind: int) -> bytes:
+    """Serialize a sorted dictionary to the dict-blob layout."""
+    if kind in (KIND_UTF8, KIND_BINARY):
+        lengths, blob = to_blob(uniq, binary=(kind == KIND_BINARY))
+        lb = forpack.encode(lengths)
+        return struct.pack("<BII", kind, len(uniq), len(lb)) + lb + blob
+    return struct.pack("<BI", kind, len(uniq)) + np.ascontiguousarray(uniq).tobytes()
+
+
 def build(values: np.ndarray, kind: int) -> tuple[bytes, bytes]:
     """Return (ids_bytes, dict_blob) for non-null values."""
     if kind in (KIND_UTF8, KIND_BINARY):
         uniq, inverse = np.unique(values, return_inverse=True)
-        lengths, blob = to_blob(uniq, binary=(kind == KIND_BINARY))
-        lb = forpack.encode(lengths)
-        dict_blob = struct.pack("<BII", kind, len(uniq), len(lb)) + lb + blob
     else:
         dtype = np.int64 if kind == KIND_INT64 else np.float64
         uniq, inverse = np.unique(np.ascontiguousarray(values, dtype=dtype), return_inverse=True)
-        dict_blob = struct.pack("<BI", kind, len(uniq)) + uniq.tobytes()
     ids = rle.encode(inverse.astype(np.uint64), bit_width(len(uniq) - 1))
-    return ids, dict_blob
+    return ids, pack_dict(uniq, kind)
 
 
 def load_dict(dict_blob: bytes | memoryview) -> np.ndarray:

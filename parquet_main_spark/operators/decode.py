@@ -259,12 +259,15 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
             return
     md = f.metadata
     bid_idx = md.schema.to_arrow_schema().get_field_index("block_id")
+    # per-bucket dictionaries (block_id = -1 rows, written first in the
+    # file) overlay the global ones for this file's blocks
+    dicts = dict(gdicts)
     pending: dict[int, list[pa.Table]] = {}
     pending_rows: dict[int, int] = {}
     for rg in range(md.num_row_groups):
         if surviving is not None:
             st = md.row_group(rg).column(bid_idx).statistics
-            if st is not None and st.has_min_max:
+            if st is not None and st.has_min_max and st.min >= 0:
                 if not any(st.min <= b <= st.max for b in surviving):
                     continue  # row-group skip: no surviving block inside
         tbl = f.read_row_group(rg, columns=_DATA_COLS)
@@ -272,13 +275,26 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
         if surviving is not None:
             keep = pc.and_(
                 keep,
-                pc.is_in(
-                    tbl.column("block_id"), value_set=pa.array(sorted(surviving), pa.int32())
+                pc.or_(
+                    pc.is_in(
+                        tbl.column("block_id"), value_set=pa.array(sorted(surviving), pa.int32())
+                    ),
+                    pc.equal(tbl.column("block_id"), pa.scalar(-1, pa.int32())),
                 ),
             )
         tbl = tbl.filter(keep)
         if tbl.num_rows == 0:
             continue
+        neg = pc.equal(tbl.column("block_id"), pa.scalar(-1, pa.int32()))
+        if pc.any(neg).as_py():
+            dpart = tbl.filter(neg)
+            for i in range(dpart.num_rows):
+                dicts[dpart.column("col")[i].as_py()] = dict_codec.load_dict(
+                    dpart.column("dict")[i].as_py()
+                )
+            tbl = tbl.filter(pc.invert(neg))
+            if tbl.num_rows == 0:
+                continue
         bids = tbl.column("block_id").to_numpy()
         for bid in np.unique(bids).tolist():
             part = tbl.filter(pc.equal(tbl.column("block_id"), pa.scalar(int(bid), pa.int32())))
@@ -289,12 +305,12 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
         for bid in [b for b, c in pending_rows.items() if c >= len(needed)]:
             group = pa.concat_tables(pending.pop(bid))
             del pending_rows[bid]
-            out = _decode_group(logical, columns, preds, False, None, group, gdicts)
+            out = _decode_group(logical, columns, preds, False, None, group, dicts)
             if out.num_rows:
                 yield from out.to_batches()
     for bid in sorted(pending):  # defensive: flush any leftovers
         out = _decode_group(logical, columns, preds, False, None,
-                            pa.concat_tables(pending[bid]), gdicts)
+                            pa.concat_tables(pending[bid]), dicts)
         if out.num_rows:
             yield from out.to_batches()
 
@@ -322,9 +338,9 @@ def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) 
         ids = dict_codec.decode_ids(row["data"])
         sorted_dict = dict_codec.load_dict(row["dict"])
         dense_mask = _mask_from_ids(ids, sorted_dict, pred)
-    elif row["codec"] == "gdict":
-        # global-dictionary block: same in-situ translation, dictionary
-        # comes from the meta table (E5 analog)
+    elif row["codec"] in ("gdict", "bdict"):
+        # global / bucket-shared dictionary block: same in-situ translation,
+        # dictionary comes from meta (E5) or the bucket's dict row
         ids = rle.decode(row["data"]).astype(np.int64)
         dense_mask = _mask_from_ids(ids, gdicts[pred.col], pred)
     else:
@@ -369,11 +385,13 @@ def _decode_group(
         dict_blob = tbl.column("dict")[i].as_py()
         params = params_loads(tbl.column("params")[i].as_py())
         validity = unpack_validity(tbl.column("validity")[i].as_py(), n)
-        if codec == "gdict":
+        if codec in ("gdict", "bdict"):
+            from ..codecs import NARROW_INT
+
             ids = rle.decode(data).astype(np.int64)
             vals = gdicts[col][ids]
-            if lt == "int32":
-                vals = vals.astype(np.int32)
+            if lt in NARROW_INT:
+                vals = vals.astype(NARROW_INT[lt])
             elif lt == "float32":
                 vals = vals.astype(np.float32)
         else:
@@ -453,7 +471,9 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate: Predicate) -> d
     the reference's skipped-page accounting analog)."""
     meta = read_meta(spark, out_dir)
     lt = meta["logical"][predicate.col]
-    col_blocks = read_blocks(spark, out_dir).filter(F.col("col") == predicate.col)
+    col_blocks = read_blocks(spark, out_dir).filter(
+        (F.col("col") == predicate.col) & (F.col("block_id") >= 0)
+    )
     total = col_blocks.count()
     kept = col_blocks.filter(prune_filter(predicate, lt)).count()
     return {"total_blocks": total, "kept_blocks": kept, "pruned_blocks": total - kept}

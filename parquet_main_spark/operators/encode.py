@@ -184,6 +184,14 @@ def _encode_with_fallback(vals: np.ndarray, lt: str, preferred: str, raw_bytes: 
         data, dict_blob, params = encode_block(vals, lt, preferred)
         enc = len(data) + (len(dict_blob) if dict_blob else 0)
         return preferred, data, dict_blob, params, enc
+    if preferred == "bdict":
+        # bucket-shared dictionary: same rank-id mechanics as gdict, but the
+        # dictionary lives in this bucket's block_id=-1 row, not in meta
+        if gdict is not None and len(vals):
+            data = _encode_gdict(vals, lt, gdict)
+            if data is not None:
+                return "bdict", data, None, {}, len(data)
+        preferred = "dict"
     if preferred == "gdict":
         if gdict is not None and len(vals):
             data = _encode_gdict(vals, lt, gdict)
@@ -317,6 +325,9 @@ def _encode_group(
     gdicts: dict[str, np.ndarray] | None = None,
     forced: frozenset[str] = frozenset(),
 ) -> pa.Table:
+    from ..codecs import _DICT_KIND, FLOAT_TYPES
+    from ..codecs import dict_codec as _dc
+
     tbl = tbl.sort_by([(c, "ascending") for c in order_by])
     cols = [c for c in tbl.column_names if c != "_bucket"]
     n_rows = tbl.num_rows
@@ -324,6 +335,43 @@ def _encode_group(
         "bucket block_id col codec params n null_count validity data dict "
         "min_int max_int min_num max_num min_str max_str raw_bytes enc_bytes sha256".split()
     )}
+
+    # bucket-shared dictionary (the reference keeps ONE dict page per column
+    # chunk, sectioned — OnePassOrderPreservingDictionaryValuesWriter.java:59-80):
+    # columns the selector sent to local "dict" store their sorted dictionary
+    # ONCE per bucket in a block_id=-1 row; every block carries only rank ids.
+    # Round 1 re-stored the dictionary per block, inflating enc_bytes for
+    # mid-cardinality columns. Forced-"dict" columns keep the per-block form
+    # (that IS the forced codec).
+    bucket_dicts: dict[str, np.ndarray] = {}
+    for col in cols:
+        if plan.get(col) != "dict" or col in forced:
+            continue
+        lt = logical[col]
+        vals_all, _ = arrow_to_dense(tbl.column(col), lt)
+        if len(vals_all) == 0:
+            continue
+        if lt in FLOAT_TYPES and np.isnan(np.asarray(vals_all, dtype=np.float64)).any():
+            continue  # NaN has no rank; per-block dict handles it
+        uniq = _dc.sorted_unique(vals_all, _DICT_KIND[lt])
+        bucket_dicts[col] = uniq
+        blob = _dc.pack_dict(uniq, _DICT_KIND[lt])
+        out["bucket"].append(bucket)
+        out["block_id"].append(-1)
+        out["col"].append(col)
+        out["codec"].append("bdict")
+        out["params"].append(params_dumps({}))
+        out["n"].append(0)
+        out["null_count"].append(0)
+        out["validity"].append(None)
+        out["data"].append(b"")
+        out["dict"].append(blob)
+        for k in ("min_int", "max_int", "min_num", "max_num", "min_str", "max_str"):
+            out[k].append(None)
+        out["raw_bytes"].append(0)
+        out["enc_bytes"].append(len(blob))
+        out["sha256"].append("")
+
     for block_id, start in enumerate(range(0, n_rows, block_size)):
         chunk = tbl.slice(start, block_size)
         for col in cols:
@@ -335,9 +383,12 @@ def _encode_group(
                 raw = int(nbytes) + 4 * len(vals)
             else:
                 raw = int(np.ascontiguousarray(vals).nbytes)
+            bdict = bucket_dicts.get(col)
             codec, data, dict_blob, params, enc = _encode_with_fallback(
-                vals, lt, plan.get(col, "plain"), raw,
-                gdict=(gdicts or {}).get(col), forced=col in forced,
+                vals, lt,
+                "bdict" if bdict is not None else plan.get(col, "plain"), raw,
+                gdict=bdict if bdict is not None else (gdicts or {}).get(col),
+                forced=col in forced,
             )
             mi, ma, mn, mx, ms, xs = _block_stats(vals, lt)
             out["bucket"].append(bucket)

@@ -240,6 +240,30 @@ def test_datasource_roundtrip_and_pushdown(spark, encoded):
         assert got.filter(cond).count() == df.filter(cond).count(), cond
 
 
+def test_bucket_shared_dictionary(spark, tmp_path):
+    """Local-dict columns store ONE sorted dictionary per bucket (block_id=-1
+    row, the reference's one-dict-page-per-chunk analog) — blocks carry only
+    rank ids, and the in-situ isin translation still answers exactly."""
+    df = webpages(spark, 2000, partitions=4).select("url", "lang")
+    out = str(tmp_path / "bdict")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="url", buckets=4,
+                                         block_size=128, snapshot_id="t1",
+                                         global_dict_max_card=0),
+                 plan={"url": "prefix", "lang": "dict"})
+    rows = spark.read.parquet(f"{out}/blocks").filter("col = 'lang'").collect()
+    dict_rows = [r for r in rows if r["block_id"] == -1]
+    data_rows = [r for r in rows if r["block_id"] >= 0]
+    assert len(dict_rows) == 4 and all(r["codec"] == "bdict" for r in dict_rows)
+    assert all(r["codec"] == "bdict" and r["dict"] is None for r in data_rows)
+    got = scan(spark, out, columns=["url", "lang"],
+               predicate=Predicate("lang", "isin", ["en", "de"]))
+    want = df.filter("lang in ('en','de')")
+    assert got.count() == want.count() > 0
+    full = _sorted_pdf(scan(spark, out))
+    ref = _sorted_pdf(df)[full.columns.tolist()]
+    pd.testing.assert_frame_equal(full.reset_index(drop=True), ref.reset_index(drop=True))
+
+
 def test_date_short_byte_roundtrip(spark, tmp_path):
     """DATE / SMALLINT / TINYINT columns (reference accepts INT96/short types
     via EncValuesWriterFactory.java:82-101): encode, scan back bit-identical,
