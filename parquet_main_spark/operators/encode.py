@@ -76,7 +76,8 @@ class EncodeResult:
 
 # ---------------------------------------------------------------- stats pass
 
-def _stats_fn(logical: dict[str, str], it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+def _stats_fn(logical: dict[str, str], sorted_cols: frozenset[str],
+              it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     # first Arrow batch per partition only: a deterministic prefix sample —
     # the iterator is abandoned afterwards so the rest of the partition is
     # never decoded (cheap stats pass; the reference pre-scans the whole
@@ -96,7 +97,7 @@ def _stats_fn(logical: dict[str, str], it: Iterator[pa.RecordBatch]) -> Iterator
         if col not in tbl.column_names:
             continue
         vals, _ = arrow_to_dense(tbl.column(col), lt)
-        st = column_sample_stats(vals, lt)
+        st = column_sample_stats(vals, lt, assume_sorted=col in sorted_cols)
         rows_col.append(col)
         rows_js.append(json.dumps(st))
     yield pa.RecordBatch.from_pydict({"col": rows_col, "stats": rows_js})
@@ -133,7 +134,17 @@ def sample_plan(df: DataFrame, cfg: EncodeConfig) -> tuple[dict[str, str], dict[
     the selector. Returns (plan, merged sample stats per column) — the stats
     gate downstream decisions (e.g. global-dict candidacy) without rescanning."""
     logical = logical_types(df.schema)
-    stats_df = df.mapInArrow(partial(_stats_fn, logical), STATS_SCHEMA)
+    # coalesce (no shuffle) the stats pass to a CONSTANT small task count:
+    # the sample is fixed-size (first ~8192 rows per task), so more tasks add
+    # no information — they add per-task overhead, and the per-task work
+    # (fsst ratio measurement) is memory-bandwidth-bound, so wide fan-out
+    # thrashes the shared bus (measured: 32 concurrent stats tasks 59s vs
+    # 8 tasks 8.4s on the same input at 32 pinned cores)
+    width = min(df.rdd.getNumPartitions(), 8)
+    sorted_cols = frozenset(cfg.order_by or [cfg.bucket_key])
+    stats_df = df.coalesce(width).mapInArrow(
+        partial(_stats_fn, logical, sorted_cols), STATS_SCHEMA
+    )
     by_col: dict[str, list[dict]] = {}
     for row in stats_df.collect():
         by_col.setdefault(row["col"], []).append(json.loads(row["stats"]))

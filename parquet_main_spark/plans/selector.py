@@ -48,9 +48,16 @@ def kmv_estimate(sketches: list[list[int]]) -> int:
     return max(KMV_K, int((KMV_K - 1) * (2.0**64) / max(kth, 1.0)))
 
 
-def column_sample_stats(values: np.ndarray, logical_type: str) -> dict[str, Any]:
+def column_sample_stats(values: np.ndarray, logical_type: str,
+                        assume_sorted: bool = False) -> dict[str, Any]:
     """Stats over a dense (non-null) sample of one column — one vectorized
-    pass (the reference's scanIntBitLength analog, generalized)."""
+    pass (the reference's scanIntBitLength analog, generalized).
+
+    ``assume_sorted``: the encoder sorts blocks by the order_by keys, so for
+    THOSE columns shared-prefix overlap is measured on a sorted sub-sample;
+    for every other column the blocks see arrival order, and measuring
+    sorted overlap would overestimate the prefix codec (it beat dict for
+    2-char lang codes that way)."""
     n = len(values)
     st: dict[str, Any] = {"n": n, "type": logical_type}
     if n == 0:
@@ -63,12 +70,15 @@ def column_sample_stats(values: np.ndarray, logical_type: str) -> dict[str, Any]
         card = len(uniq)
         runs = 1 + int((values[1:] != values[:-1]).sum())
         dict_bytes = int(sum(len(s.encode() if isinstance(s, str) else s) for s in uniq))
-        comp = compress_corpus(bytes(blob))
-        # measured shared-prefix ratio on a SORTED sub-sample (the encoder
-        # sorts blocks by the bucket key, so sorted overlap is what matters)
+        # ratio estimate only: 4 MiB of corpus is plenty, and compressing a
+        # whole 25 MiB sample per task is bandwidth the bus doesn't have
+        comp = compress_corpus(bytes(blob[: 4 << 20]))
+        blob_used = min(len(blob), 4 << 20)
         from ..codecs import prefix as _prefix
 
-        sub = np.sort(values[: min(len(values), 2048)])
+        sub = values[: min(len(values), 2048)]
+        if assume_sorted:
+            sub = np.sort(sub)
         try:
             praw = sum(len(s.encode() if isinstance(s, str) else s) for s in sub) + 4 * len(sub)
             prefix_ratio = len(_prefix.encode(sub, binary=logical_type == "binary")) / max(1, praw)
@@ -82,7 +92,7 @@ def column_sample_stats(values: np.ndarray, logical_type: str) -> dict[str, Any]
             avg_len=float(lengths.mean()),
             dict_bytes=dict_bytes,
             avg_uniq_len=dict_bytes / max(1, card),
-            fsst_ratio=len(comp) / max(1, len(blob)),
+            fsst_ratio=len(comp) / max(1, blob_used),
         )
         return st
     v = np.ascontiguousarray(values, dtype=np.float64 if logical_type in ("float32", "float64") else np.int64)
