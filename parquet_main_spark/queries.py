@@ -1082,6 +1082,134 @@ LIMIT 5
 """
 
 
+def _ivf_assign(spark, sf_dir) -> DataFrame:
+    """IVF coarse quantizer: centroids are a deterministic subset of the
+    vectors (vec_id % 50 == 0 — a stand-in for a trained codebook; training
+    is out of scope, assignment mechanics are the point). Each vector is
+    assigned to its max-cosine centroid via ONE mapInArrow numpy matmul per
+    batch against the broadcast centroid matrix — no row explosion, no
+    shuffle (the same scale shape as _lsh_buckets)."""
+    import numpy as np
+    import pyarrow as pa
+
+    e = _t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect()
+    cids_l = np.array([r["vec_id"] for r in cents], dtype=np.int64)
+    order = np.argsort(cids_l)
+    cids = cids_l[order]
+    cmat = np.array([cents[i]["embedding"] for i in order], dtype=np.float64)
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+
+    def assign(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import numpy as _np
+
+        for batch in it:
+            if batch.num_rows == 0:
+                continue
+            emb = batch.column("embedding").flatten().to_numpy(zero_copy_only=False)
+            emb = emb.astype(_np.float64).reshape(batch.num_rows, -1)
+            vnorm = _np.sqrt((emb * emb).sum(axis=1))
+            cos = _np.round((emb @ cmat.T) / (vnorm[:, None] * cnorm[None, :]), 6)
+            best = cos.argmax(axis=1)  # first max = smallest centroid id (ties)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("vec_id"), pa.array(cids[best])],
+                ["vec_id", "centroid_id"],
+            )
+
+    return e.select("vec_id", "embedding").mapInArrow(
+        assign, "vec_id bigint, centroid_id bigint"
+    )
+
+
+_IVF_ASSIGN_SQL = """
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0),
+pc AS (
+  SELECT e.vec_id, c.cid,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(c.cemb) AS DOUBLE)      AS y
+  FROM embeddings e, cent c
+),
+cos AS (
+  SELECT vec_id, cid,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6) AS c
+  FROM pc GROUP BY vec_id, cid
+),
+assign AS (
+  SELECT vec_id, cid AS centroid_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid ASC) AS rn
+  FROM cos
+)
+"""
+
+
+def ops_ivf_clusters(spark, sf_dir):
+    """IVF inverted-list sizes: how many vectors each coarse cell holds —
+    validates the full assignment (every vector, not just the probed cell)."""
+    a = _ivf_assign(spark, sf_dir)
+    return a.groupBy("centroid_id").agg(F.count("*").alias("n_vectors"))
+
+
+OPS_IVF_CLUSTERS_SQL = f"""
+WITH {_IVF_ASSIGN_SQL}
+SELECT centroid_id, count(*) AS n_vectors FROM assign WHERE rn = 1 GROUP BY centroid_id
+"""
+
+
+def ops_ivf_topk(spark, sf_dir):
+    """ANN via IVF (nprobe=1): search only the query's coarse cell, rerank
+    members by exact cosine — the codebook-partitioned scale path next to
+    the sign-LSH one (search cost O(N/K) instead of O(N))."""
+    a = _ivf_assign(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    qc = a.filter(F.col("vec_id") == 0).select(F.col("centroid_id").alias("qcid"))
+    members = (
+        a.join(F.broadcast(qc), F.col("centroid_id") == F.col("qcid"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    ce = members.join(e, "vec_id")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qemb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        ce.crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(dot / (norm("embedding") * norm("qemb")), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+OPS_IVF_TOPK_SQL = f"""
+WITH {_IVF_ASSIGN_SQL},
+qc AS (SELECT centroid_id FROM assign WHERE vec_id = 0 AND rn = 1),
+members AS (
+  SELECT a.vec_id FROM assign a, qc
+  WHERE a.rn = 1 AND a.centroid_id = qc.centroid_id AND a.vec_id <> 0
+),
+q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qemb) AS DOUBLE)      AS y
+  FROM embeddings e JOIN members m ON e.vec_id = m.vec_id, q
+)
+SELECT vec_id, round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+FROM p GROUP BY vec_id
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 5
+"""
+
+
 def ops_blob_meta(spark, sf_dir):
     """Multimodal plumbing: opaque binary blobs -> typed metadata via a
     vectorized mapInArrow 'decoder' (real image/audio decode stubbed —
@@ -1161,6 +1289,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ops_neardup_embeddings": ops_neardup_embeddings,
     "ops_ann_lsh_buckets": ops_ann_lsh_buckets,
     "ops_ann_lsh_topk": ops_ann_lsh_topk,
+    "ops_ivf_clusters": ops_ivf_clusters,
+    "ops_ivf_topk": ops_ivf_topk,
     "ops_blob_meta": ops_blob_meta,
 }
 
@@ -1201,5 +1331,7 @@ ORACLES: dict[str, str] = {
     "ops_neardup_embeddings": OPS_NEARDUP_SQL,
     "ops_ann_lsh_buckets": OPS_ANN_LSH_SQL,
     "ops_ann_lsh_topk": OPS_ANN_TOPK_SQL,
+    "ops_ivf_clusters": OPS_IVF_CLUSTERS_SQL,
+    "ops_ivf_topk": OPS_IVF_TOPK_SQL,
     "ops_blob_meta": OPS_BLOB_SQL,
 }
