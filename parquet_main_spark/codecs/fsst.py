@@ -206,15 +206,24 @@ def decompress_corpus(buf: bytes | memoryview) -> bytes:
     return (np.concatenate(pieces) if len(pieces) > 1 else pieces[0]).tobytes()
 
 
-def encode(values: np.ndarray, binary: bool = False) -> bytes:
-    lengths, blob = to_blob(values, binary=binary)
-    lb = forpack.encode(lengths)
-    return struct.pack("<II", len(values), len(lb)) + lb + compress_corpus(blob)
+def encode_lb(lengths: np.ndarray, blob) -> bytes:
+    """(lengths, blob) form — byte-identical to encode, no objects."""
+    lb = forpack.encode(np.ascontiguousarray(lengths, dtype=np.int64))
+    return struct.pack("<II", len(lengths), len(lb)) + lb + compress_corpus(bytes(blob))
 
 
-def decode(buf: bytes | memoryview, binary: bool = False) -> np.ndarray:
+def decode_lb(buf: bytes | memoryview) -> tuple[np.ndarray, bytes]:
     buf = memoryview(buf)
     n, len_bytes = struct.unpack_from("<II", buf, 0)
     lengths = forpack.decode(buf[8 : 8 + len_bytes])
-    blob = decompress_corpus(buf[8 + len_bytes :])
+    return lengths, decompress_corpus(buf[8 + len_bytes :])
+
+
+def encode(values: np.ndarray, binary: bool = False) -> bytes:
+    lengths, blob = to_blob(values, binary=binary)
+    return encode_lb(lengths, blob)
+
+
+def decode(buf: bytes | memoryview, binary: bool = False) -> np.ndarray:
+    lengths, blob = decode_lb(buf)
     return from_blob(lengths, blob, binary=binary)

@@ -36,14 +36,24 @@ def decode_fixed(buf: bytes | memoryview, dtype: np.dtype) -> np.ndarray:
     return np.frombuffer(buf, dtype=dtype, count=n, offset=5).copy()
 
 
-def encode_var(values: np.ndarray, binary: bool = False) -> bytes:
-    lengths, blob = to_blob(values, binary=binary)
-    lb = forpack.encode(lengths)
-    return struct.pack("<II", len(values), len(lb)) + lb + blob
+def encode_var_lb(lengths: np.ndarray, blob) -> bytes:
+    """(lengths, blob) form — byte-identical to encode_var, no objects."""
+    lb = forpack.encode(np.ascontiguousarray(lengths, dtype=np.int64))
+    return struct.pack("<II", len(lengths), len(lb)) + lb + bytes(blob)
 
 
-def decode_var(buf: bytes | memoryview, binary: bool = False) -> np.ndarray:
+def decode_var_lb(buf: bytes | memoryview) -> tuple[np.ndarray, memoryview]:
     buf = memoryview(buf)
     n, len_bytes = struct.unpack_from("<II", buf, 0)
     lengths = forpack.decode(buf[8 : 8 + len_bytes])
-    return from_blob(lengths, bytes(buf[8 + len_bytes :]), binary=binary)
+    return lengths, buf[8 + len_bytes :]
+
+
+def encode_var(values: np.ndarray, binary: bool = False) -> bytes:
+    lengths, blob = to_blob(values, binary=binary)
+    return encode_var_lb(lengths, blob)
+
+
+def decode_var(buf: bytes | memoryview, binary: bool = False) -> np.ndarray:
+    lengths, blob = decode_var_lb(buf)
+    return from_blob(lengths, bytes(blob), binary=binary)

@@ -133,6 +133,17 @@ def unpack_validity(buf: bytes | None, n: int) -> np.ndarray | None:
     return np.unpackbits(np.frombuffer(buf, dtype=np.uint8), bitorder="little", count=n).astype(bool)
 
 
+def canonical_sha_lb(lengths: np.ndarray, blob, mask: np.ndarray | None) -> str:
+    """(lengths, blob) form of canonical_sha for var-len columns — produces
+    the IDENTICAL digest without materializing value objects."""
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(lengths, dtype=np.int64).tobytes())
+    h.update(blob)
+    if mask is not None:
+        h.update(np.packbits(mask, bitorder="little").tobytes())
+    return h.hexdigest()
+
+
 def canonical_sha(values: np.ndarray, mask: np.ndarray | None, lt: str) -> str:
     """SHA-256 of the canonical dense byte serialization + validity —
     the bit-identity fixture digest (FIXTURES.md invariant 1)."""

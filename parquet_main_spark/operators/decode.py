@@ -376,6 +376,9 @@ def _decode_group(
         if not mask.any():
             return pa.table({c: pa.array([], type=_pa_type(logical[c])) for c in columns})
 
+    from ..codecs import VAR_TYPES, fsst as _fsst, plain as _plain
+    from ..codecs.strutil import lb_to_arrow
+
     arrays = {}
     for col in columns:
         i = by_col[col]
@@ -385,18 +388,25 @@ def _decode_group(
         dict_blob = tbl.column("dict")[i].as_py()
         params = params_loads(tbl.column("params")[i].as_py())
         validity = unpack_validity(tbl.column("validity")[i].as_py(), n)
-        if codec in ("gdict", "bdict"):
-            from ..codecs import NARROW_INT
-
-            ids = rle.decode(data).astype(np.int64)
-            vals = gdicts[col][ids]
-            if lt in NARROW_INT:
-                vals = vals.astype(NARROW_INT[lt])
-            elif lt == "float32":
-                vals = vals.astype(np.float32)
+        if codec in ("fsst", "plain") and lt in VAR_TYPES:
+            # var-len fast path: rebuild the Arrow array straight from
+            # (lengths, blob) — zero per-value Python objects
+            lengths, blob = (_fsst.decode_lb(data) if codec == "fsst"
+                             else _plain.decode_var_lb(data))
+            arr = lb_to_arrow(lengths, blob, validity, binary=lt == "binary")
         else:
-            vals = decode_block(data, dict_blob, lt, codec, params)
-        arr = dense_to_arrow(vals, validity, lt)
+            if codec in ("gdict", "bdict"):
+                from ..codecs import NARROW_INT
+
+                ids = rle.decode(data).astype(np.int64)
+                vals = gdicts[col][ids]
+                if lt in NARROW_INT:
+                    vals = vals.astype(NARROW_INT[lt])
+                elif lt == "float32":
+                    vals = vals.astype(np.float32)
+            else:
+                vals = decode_block(data, dict_blob, lt, codec, params)
+            arr = dense_to_arrow(vals, validity, lt)
         if mask is not None:
             arr = arr.filter(pa.array(mask))
         arrays[col] = arr

@@ -263,19 +263,26 @@ def _block_stats(vals: np.ndarray, lt: str):
                 mn, mx = float(vals.min()), float(vals.max())
         elif lt == "bool":
             mi, ma = int(vals.min()), int(vals.max())
-        elif lt == "string":
-            lo, hi = str(min(vals)), str(max(vals))
-            ms = lo if len(lo) <= STAT_PREFIX_CHARS else lo[:STAT_PREFIX_CHARS]
-            xs = hi if len(hi) <= STAT_PREFIX_CHARS else None
-        elif lt == "binary":
-            lo, hi = bytes(min(vals)), bytes(max(vals))
-            ms = lo[:STAT_PREFIX_BYTES].hex()
-            if len(hi) <= STAT_PREFIX_BYTES:
-                xs = hi.hex()
-            else:
-                bound = _inc_bytes(hi[:STAT_PREFIX_BYTES])
-                xs = bound.hex() if bound is not None else None
+        elif lt in ("string", "binary"):
+            ms, xs = _var_bounds(min(vals), max(vals), lt)
     return mi, ma, mn, mx, ms, xs
+
+
+def _var_bounds(lo, hi, lt: str) -> tuple[str | None, str | None]:
+    """Truncated conservative (min, max) bounds from exact var-len min/max."""
+    if lt == "string":
+        lo, hi = str(lo), str(hi)
+        ms = lo if len(lo) <= STAT_PREFIX_CHARS else lo[:STAT_PREFIX_CHARS]
+        xs = hi if len(hi) <= STAT_PREFIX_CHARS else None
+        return ms, xs
+    lo, hi = bytes(lo), bytes(hi)
+    ms = lo[:STAT_PREFIX_BYTES].hex()
+    if len(hi) <= STAT_PREFIX_BYTES:
+        xs = hi.hex()
+    else:
+        bound = _inc_bytes(hi[:STAT_PREFIX_BYTES])
+        xs = bound.hex() if bound is not None else None
+    return ms, xs
 
 
 def _encode_partition(
@@ -383,11 +390,59 @@ def _encode_group(
         out["enc_bytes"].append(len(blob))
         out["sha256"].append("")
 
+    from ..codecs import VAR_TYPES, fsst as _fsst, plain as _plain
+    from ..codecs.strutil import arrow_to_lb
+    from ..functions.arrow import canonical_sha_lb
+
     for block_id, start in enumerate(range(0, n_rows, block_size)):
         chunk = tbl.slice(start, block_size)
         for col in cols:
             lt = logical[col]
             arr = chunk.column(col)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            pref = "bdict" if col in bucket_dicts else plan.get(col, "plain")
+
+            # var-len fast path: fsst/plain feed straight from the Arrow
+            # (offsets, data) buffers — ZERO per-value Python objects for
+            # the html/text columns that dominate the bytes (the object
+            # round-trip was the encode UDF's hot spot)
+            if lt in VAR_TYPES and pref in ("fsst", "plain"):
+                mask = np.asarray(arr.is_valid()) if arr.null_count else None
+                arr_nn = arr.drop_null() if arr.null_count else arr
+                lengths, blob = arrow_to_lb(arr_nn)
+                raw = int(lengths.sum()) + 4 * len(lengths)
+                data = (_fsst.encode_lb(lengths, blob) if pref == "fsst"
+                        else _plain.encode_var_lb(lengths, blob))
+                enc = len(data)
+                if col in forced or pref == "plain" or enc < raw:
+                    ms = xs = None
+                    if len(lengths):
+                        mm = pc.min_max(arr_nn)
+                        ms, xs = _var_bounds(mm["min"].as_py(), mm["max"].as_py(), lt)
+                    out["bucket"].append(bucket)
+                    out["block_id"].append(block_id)
+                    out["col"].append(col)
+                    out["codec"].append(pref)
+                    out["params"].append(params_dumps({}))
+                    out["n"].append(chunk.num_rows)
+                    out["null_count"].append(chunk.num_rows - len(lengths))
+                    out["validity"].append(pack_validity(mask))
+                    out["data"].append(data)
+                    out["dict"].append(None)
+                    out["min_int"].append(None)
+                    out["max_int"].append(None)
+                    out["min_num"].append(None)
+                    out["max_num"].append(None)
+                    out["min_str"].append(ms)
+                    out["max_str"].append(xs)
+                    out["raw_bytes"].append(raw)
+                    out["enc_bytes"].append(enc)
+                    out["sha256"].append(canonical_sha_lb(lengths, blob, mask))
+                    continue
+                # preferred codec didn't compress: rare — fall through to the
+                # generic fallback chain on materialized values
+
             vals, mask = arrow_to_dense(arr, lt)
             if lt in ("string", "binary"):
                 nbytes = pc.sum(pc.binary_length(arr)).as_py() or 0
