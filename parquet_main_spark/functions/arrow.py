@@ -10,6 +10,7 @@ values (SURVEY.md §2.2 E11 / §2.5 Q4).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -62,9 +63,46 @@ _PA_FROM_LOGICAL = {
 }
 
 
+_DEC_RE = re.compile(r"^decimal64\((\d+),(\d+)\)$")
+
+
+def decimal_params(lt: str) -> tuple[int, int] | None:
+    m = _DEC_RE.match(lt)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
+def codec_type(lt: str) -> str:
+    """Logical type as the CODECS see it: decimal64(p,s) is carried as its
+    unscaled int64 (the reference stores decimals as fixed-width ints too,
+    EncValuesWriterFactory.java:82-101); everything else maps to itself."""
+    return "int64" if lt.startswith("decimal64(") else lt
+
+
+def spark_type(lt: str) -> str:
+    p = decimal_params(lt)
+    if p:
+        return f"decimal({p[0]},{p[1]})"
+    return SPARK_FROM_LOGICAL[lt]
+
+
+def pa_type(lt: str):
+    p = decimal_params(lt)
+    if p:
+        return pa.decimal128(*p)
+    return _PA_FROM_LOGICAL[lt]
+
+
 def logical_types(schema: T.StructType) -> dict[str, str]:
     out = {}
     for f in schema.fields:
+        if isinstance(f.dataType, T.DecimalType):
+            p, s = f.dataType.precision, f.dataType.scale
+            if p > 18:
+                raise TypeError(
+                    f"decimal precision > 18 not supported ({f.name}: decimal({p},{s}))"
+                )
+            out[f.name] = f"decimal64({p},{s})"
+            continue
         name = f.dataType.typeName()
         if name not in LOGICAL_FROM_SPARK:
             raise TypeError(f"unsupported column type {name} for {f.name}")
@@ -88,6 +126,12 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
         vals = arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
     elif lt == "date32":
         vals = arr.cast(pa.int32()).to_numpy(zero_copy_only=False)
+    elif lt.startswith("decimal64("):
+        # decimal128 data buffer = 16-byte LE two's-complement ints; with
+        # p <= 18 the signed value lives entirely in the low 64-bit word
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                            offset=arr.offset * 16, count=2 * len(arr))
+        vals = raw[::2].copy()
     elif lt == "binary":
         vals = np.array(arr.to_pylist(), dtype=object) if len(arr) else np.empty(0, dtype=object)
     else:
@@ -99,6 +143,24 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
 
 def dense_to_arrow(values: np.ndarray, mask: np.ndarray | None, lt: str) -> pa.Array:
     """Reinflate nulls and convert to the Arrow type Spark expects."""
+    dp = decimal_params(lt)
+    if dp:
+        n = len(mask) if mask is not None else len(values)
+        lo = np.zeros(n, dtype=np.int64)
+        if mask is None:
+            lo[:] = values
+        else:
+            lo[mask] = values
+        pairs = np.empty((n, 2), dtype=np.int64)
+        pairs[:, 0] = lo
+        pairs[:, 1] = lo >> 63  # sign extension to the high word
+        vbuf = None if mask is None else pa.py_buffer(
+            np.packbits(mask, bitorder="little").tobytes()
+        )
+        return pa.Array.from_buffers(
+            pa.decimal128(*dp), n, [vbuf, pa.py_buffer(pairs.tobytes())],
+            null_count=0 if mask is None else int(n - mask.sum()),
+        )
     typ = _PA_FROM_LOGICAL[lt]
     if mask is None:
         if lt.startswith("timestamp"):

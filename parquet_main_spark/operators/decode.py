@@ -37,7 +37,13 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..codecs import decode_block, params_loads
 from ..codecs import dict_codec, rle
-from ..functions.arrow import SPARK_FROM_LOGICAL, dense_to_arrow, unpack_validity
+from ..functions.arrow import (
+    codec_type,
+    dense_to_arrow,
+    pa_type as _arrow_pa_type,
+    spark_type,
+    unpack_validity,
+)
 from .encode import read_meta
 
 _OPS = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
@@ -64,6 +70,7 @@ def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
 def _stat_cols(lt: str) -> tuple[str, str]:
     from ..codecs import INT_TYPES
 
+    lt = codec_type(lt)
     if lt in INT_TYPES or lt == "bool":
         return "min_int", "max_int"
     if lt in ("float32", "float64"):
@@ -344,7 +351,7 @@ def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) 
         ids = rle.decode(row["data"]).astype(np.int64)
         dense_mask = _mask_from_ids(ids, gdicts[pred.col], pred)
     else:
-        vals = decode_block(row["data"], row["dict"], lt, row["codec"], params_loads(row["params"]))
+        vals = decode_block(row["data"], row["dict"], codec_type(lt), row["codec"], params_loads(row["params"]))
         if lt == "string":
             vals = vals.astype(object) if vals.dtype != object else vals
         dense_mask = _mask_from_values(vals, pred)
@@ -400,12 +407,12 @@ def _decode_group(
 
                 ids = rle.decode(data).astype(np.int64)
                 vals = gdicts[col][ids]
-                if lt in NARROW_INT:
-                    vals = vals.astype(NARROW_INT[lt])
+                if codec_type(lt) in NARROW_INT:
+                    vals = vals.astype(NARROW_INT[codec_type(lt)])
                 elif lt == "float32":
                     vals = vals.astype(np.float32)
             else:
-                vals = decode_block(data, dict_blob, lt, codec, params)
+                vals = decode_block(data, dict_blob, codec_type(lt), codec, params)
             arr = dense_to_arrow(vals, validity, lt)
         if mask is not None:
             arr = arr.filter(pa.array(mask))
@@ -414,9 +421,7 @@ def _decode_group(
 
 
 def _pa_type(lt: str):
-    from ..functions.arrow import _PA_FROM_LOGICAL
-
-    return _PA_FROM_LOGICAL[lt]
+    return _arrow_pa_type(lt)
 
 
 def _as_pred_list(predicate: Predicate | list[Predicate] | None) -> list[Predicate]:
@@ -467,7 +472,7 @@ def scan(
     if columns is None:
         columns = list(logical)
     files = _list_block_files(out_dir)
-    out_schema = ", ".join(f"`{c}` {SPARK_FROM_LOGICAL[logical[c]]}" for c in columns)
+    out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in columns)
     if not files:
         return spark.createDataFrame([], out_schema)
     tasks = spark.createDataFrame([(p,) for p in files], "path string").repartition(len(files))

@@ -32,7 +32,13 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..codecs import APPLICABLE, INT_TYPES, encode_block, params_dumps
-from ..functions.arrow import arrow_to_dense, canonical_sha, logical_types, pack_validity
+from ..functions.arrow import (
+    arrow_to_dense,
+    canonical_sha,
+    codec_type,
+    logical_types,
+    pack_validity,
+)
 from ..plans.selector import choose_codec, column_sample_stats
 
 BLOCKS_SCHEMA = (
@@ -97,7 +103,7 @@ def _stats_fn(logical: dict[str, str], sorted_cols: frozenset[str],
         if col not in tbl.column_names:
             continue
         vals, _ = arrow_to_dense(tbl.column(col), lt)
-        st = column_sample_stats(vals, lt, assume_sorted=col in sorted_cols)
+        st = column_sample_stats(vals, codec_type(lt), assume_sorted=col in sorted_cols)
         rows_col.append(col)
         rows_js.append(json.dumps(st))
     yield pa.RecordBatch.from_pydict({"col": rows_col, "stats": rows_js})
@@ -366,14 +372,15 @@ def _encode_group(
         if plan.get(col) != "dict" or col in forced:
             continue
         lt = logical[col]
+        ct = codec_type(lt)
         vals_all, _ = arrow_to_dense(tbl.column(col), lt)
         if len(vals_all) == 0:
             continue
-        if lt in FLOAT_TYPES and np.isnan(np.asarray(vals_all, dtype=np.float64)).any():
+        if ct in FLOAT_TYPES and np.isnan(np.asarray(vals_all, dtype=np.float64)).any():
             continue  # NaN has no rank; per-block dict handles it
-        uniq = _dc.sorted_unique(vals_all, _DICT_KIND[lt])
+        uniq = _dc.sorted_unique(vals_all, _DICT_KIND[ct])
         bucket_dicts[col] = uniq
-        blob = _dc.pack_dict(uniq, _DICT_KIND[lt])
+        blob = _dc.pack_dict(uniq, _DICT_KIND[ct])
         out["bucket"].append(bucket)
         out["block_id"].append(-1)
         out["col"].append(col)
@@ -443,6 +450,7 @@ def _encode_group(
                 # preferred codec didn't compress: rare — fall through to the
                 # generic fallback chain on materialized values
 
+            ct = codec_type(lt)
             vals, mask = arrow_to_dense(arr, lt)
             if lt in ("string", "binary"):
                 nbytes = pc.sum(pc.binary_length(arr)).as_py() or 0
@@ -451,12 +459,12 @@ def _encode_group(
                 raw = int(np.ascontiguousarray(vals).nbytes)
             bdict = bucket_dicts.get(col)
             codec, data, dict_blob, params, enc = _encode_with_fallback(
-                vals, lt,
+                vals, ct,
                 "bdict" if bdict is not None else plan.get(col, "plain"), raw,
                 gdict=bdict if bdict is not None else (gdicts or {}).get(col),
                 forced=col in forced,
             )
-            mi, ma, mn, mx, ms, xs = _block_stats(vals, lt)
+            mi, ma, mn, mx, ms, xs = _block_stats(vals, ct)
             out["bucket"].append(bucket)
             out["block_id"].append(block_id)
             out["col"].append(col)
@@ -475,7 +483,7 @@ def _encode_group(
             out["max_str"].append(xs)
             out["raw_bytes"].append(raw)
             out["enc_bytes"].append(enc)
-            out["sha256"].append(canonical_sha(vals, mask, lt))
+            out["sha256"].append(canonical_sha(vals, mask, ct))
     return pa.table(
         out,
         schema=pa.schema(
@@ -578,6 +586,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
             cands = [
                 c for c, codec in plan.items()
                 if codec == "dict" and logical[c] != "binary" and c not in forced
+                and not logical[c].startswith("decimal64(")  # unscaled collect is bdict's job
                 and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
             ]
             if cands:

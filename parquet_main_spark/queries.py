@@ -581,6 +581,35 @@ GROUP BY 1
 """
 
 
+def eng_decimal_scan(spark, sf_dir):
+    """DECIMAL column coverage: decimals ride the int codec family as
+    unscaled int64 (p <= 18); the pushed predicate compares unscaled values
+    against the int zone map, the result comes back as exact decimal."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(
+        spark, sf_dir, "lineitem", "l_orderkey", name="lineitem_dec",
+        transform=lambda d: d.select(
+            "l_orderkey", F.col("l_extendedprice").cast("decimal(12,2)").alias("price")
+        ),
+    )
+    rows = scan(spark, out, columns=["l_orderkey", "price"],
+                predicate=Predicate("price", ">=", 5_000_000))  # unscaled 50000.00
+    return rows.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("price").alias("total"),
+        F.min("price").alias("min_price"),
+    )
+
+
+ENG_DECIMAL_SQL = """
+SELECT count(*) AS n_rows,
+       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS total,
+       min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
+FROM lineitem WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 50000.00
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1276,6 +1305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_codec_localdict": eng_codec_localdict,
     "eng_codec_bool_rle": eng_codec_bool_rle,
     "eng_typed_scan": eng_typed_scan,
+    "eng_decimal_scan": eng_decimal_scan,
     "eng_datasource_scan": eng_datasource_scan,
     "ops_dedup_exact": ops_dedup_exact,
     "ops_token_count": ops_token_count,
@@ -1318,6 +1348,7 @@ ORACLES: dict[str, str] = {
     "eng_codec_localdict": ENG_LOCALDICT_SQL,
     "eng_codec_bool_rle": ENG_BOOL_SQL,
     "eng_typed_scan": ENG_TYPED_SQL,
+    "eng_decimal_scan": ENG_DECIMAL_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
     "ops_token_count": OPS_TOKENS_SQL,

@@ -89,6 +89,13 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
         return None
 
     def conv(v):
+        if lt.startswith("decimal64("):
+            import decimal
+
+            from ..functions.arrow import decimal_params
+
+            _, s = decimal_params(lt)
+            return int(decimal.Decimal(v).scaleb(s))
         if lt in ("timestamp", "timestamp_ntz"):
             import datetime
 
@@ -150,11 +157,11 @@ class EncodedTableDataSource(DataSource):
         return FORMAT_NAME
 
     def schema(self) -> str:
-        from ..functions.arrow import SPARK_FROM_LOGICAL
+        from ..functions.arrow import spark_type
 
         meta = _read_meta_local(self.options["path"])
         return ", ".join(
-            f"`{c}` {SPARK_FROM_LOGICAL[lt]}" for c, lt in meta["logical"].items()
+            f"`{c}` {spark_type(lt)}" for c, lt in meta["logical"].items()
         )
 
     def reader(self, schema) -> EncodedTableReader:

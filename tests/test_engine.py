@@ -240,6 +240,23 @@ def test_datasource_roundtrip_and_pushdown(spark, encoded):
         assert got.filter(cond).count() == df.filter(cond).count(), cond
 
 
+def test_single_giant_bucket_streams(spark, tmp_path):
+    """Everything in ONE bucket across many input partitions: the streaming
+    encoder accumulates exactly one bucket group (never the whole-partition
+    list(it) of round 1) and many small blocks; decode streams it back from
+    one file task."""
+    df = webpages(spark, 5000, partitions=16)
+    out = str(tmp_path / "giant")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=1, block_size=128,
+                                         snapshot_id="t1"))
+    blocks = spark.read.parquet(f"{out}/blocks")
+    assert blocks.select("bucket").distinct().count() == 1
+    assert blocks.filter("col = 'url' AND block_id >= 0").count() == (5000 + 127) // 128
+    got = _sorted_pdf(scan(spark, out, columns=["url", "lang"]))
+    want = _sorted_pdf(df.select("url", "lang"))
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
 def test_bucket_shared_dictionary(spark, tmp_path):
     """Local-dict columns store ONE sorted dictionary per bucket (block_id=-1
     row, the reference's one-dict-page-per-chunk analog) — blocks carry only
@@ -300,3 +317,22 @@ def test_stale_buckets_cleared_on_new_snapshot(spark, tmp_path):
     encode_table(spark, smaller, EncodeConfig(out_dir=out, buckets=BUCKETS,
                                               block_size=256, snapshot_id="s2"))
     assert scan(spark, out, columns=["url"]).count() == smaller.count()
+
+
+def test_decimal_roundtrip(spark, tmp_path):
+    """DECIMAL(p<=18) columns ride the int codec family as unscaled int64:
+    exact round-trip (incl. nulls) + unscaled-value predicate pruning."""
+    df = spark.sql(
+        "SELECT id AS k, CAST(id * 1.5 AS DECIMAL(12,2)) AS price, "
+        "CAST(CASE WHEN id % 7 = 0 THEN NULL ELSE id * 0.001 END AS DECIMAL(9,3)) AS amt "
+        "FROM range(1000)"
+    )
+    out = str(tmp_path / "dec")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=4,
+                                         block_size=128, snapshot_id="t1"))
+    got = _sorted_pdf(scan(spark, out), order="k")
+    want = _sorted_pdf(df, order="k")[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+    n = scan(spark, out, columns=["k", "price"],
+             predicate=Predicate("price", ">=", 75_000)).count()  # unscaled 750.00
+    assert n == df.filter("price >= 750.00").count() > 0
