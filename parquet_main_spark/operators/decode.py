@@ -54,8 +54,9 @@ _OPS = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
 class Predicate:
     """Single-column comparison pushed into the scan.
 
-    op in {=, !=, <, <=, >, >=, between, isin}; value is a scalar,
-    (lo, hi) for between, or a list for isin. Timestamps: int micros.
+    op in {=, !=, <, <=, >, >=, between, isin, isnull, notnull}; value is a
+    scalar, (lo, hi) for between, a list for isin, ignored for the null
+    tests. Timestamps: int micros; decimals: unscaled ints.
     """
 
     col: str
@@ -84,6 +85,10 @@ def prune_filter(pred: Predicate, lt: str):
     (binary prefix overflow, NaN floats, truncated long-string max — see
     _block_stats) and retain the block unless it is all-null; all-null blocks
     never match comparison predicates (SQL null semantics)."""
+    if pred.op == "isnull":
+        return F.col("null_count") > 0
+    if pred.op == "notnull":
+        return F.col("null_count") < F.col("n")
     lo, hi = [F.col(c) for c in _stat_cols(lt)]
     # binary bounds are stored hex-encoded (order-preserving); compare the
     # literal in the same space
@@ -177,6 +182,10 @@ def _block_survives(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) -
     """Python mirror of :func:`prune_filter` for the in-task zone-map prune
     (same three-valued semantics: None bounds = unknown -> keep unless the
     block is all-null)."""
+    if pred.op == "isnull":
+        return null_count > 0
+    if pred.op == "notnull":
+        return null_count < n
     enc = (lambda x: bytes(x).hex()) if lt == "binary" else (lambda x: x)
 
     def ge(a, b):
@@ -341,6 +350,14 @@ def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) 
            ("codec", "params", "validity", "data", "dict")}
     lt = logical[pred.col]
     validity = unpack_validity(row["validity"], n)
+    if pred.op in ("isnull", "notnull"):
+        # answered from the validity bitmap alone — the payload is never
+        # decoded (null-aware skip, the skipWithCount analog)
+        if validity is None:
+            full = np.ones(n, dtype=bool)
+        else:
+            full = validity.copy()
+        return ~full if pred.op == "isnull" else full
     if row["codec"] == "dict":
         ids = dict_codec.decode_ids(row["data"])
         sorted_dict = dict_codec.load_dict(row["dict"])

@@ -35,6 +35,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     In,
     InputPartition,
+    IsNotNull,
+    IsNull,
     LessThan,
     LessThanOrEqual,
 )
@@ -76,6 +78,8 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
         LessThan: "<",
         LessThanOrEqual: "<=",
         In: "isin",
+        IsNull: "isnull",
+        IsNotNull: "notnull",
     }
     op = ops.get(type(f))
     if op is None:
@@ -108,6 +112,8 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
             return bytes(v)
         return v
 
+    if op in ("isnull", "notnull"):
+        return Predicate(col, op, None)
     if op == "isin":
         return Predicate(col, "isin", [conv(v) for v in f.value])
     return Predicate(col, op, conv(f.value))

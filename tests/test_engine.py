@@ -336,3 +336,21 @@ def test_decimal_roundtrip(spark, tmp_path):
     n = scan(spark, out, columns=["k", "price"],
              predicate=Predicate("price", ">=", 75_000)).count()  # unscaled 750.00
     assert n == df.filter("price >= 750.00").count() > 0
+
+
+def test_null_predicates(spark, tmp_path):
+    """isnull/notnull predicates answer from the validity bitmap alone —
+    block payloads never decoded, blocks without nulls pruned for isnull."""
+    df = spark.sql(
+        "SELECT id AS k, CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id AS STRING) END AS v "
+        "FROM range(1000)"
+    )
+    out = str(tmp_path / "nulls")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=64, snapshot_id="t1"))
+    assert scan(spark, out, columns=["k"], predicate=Predicate("v", "isnull", None)).count() == 200
+    assert scan(spark, out, columns=["k", "v"], predicate=Predicate("v", "notnull", None)).count() == 800
+    # compound: notnull AND a value predicate
+    n = scan(spark, out, columns=["k", "v"],
+             predicate=[Predicate("v", "notnull", None), Predicate("k", "<", 100)]).count()
+    assert n == df.filter("v IS NOT NULL AND k < 100").count()
