@@ -1111,6 +1111,46 @@ LIMIT 5
 """
 
 
+def ops_curation_pipeline(spark, sf_dir):
+    """End-to-end corpus curation: exact-dedup winners AND a quality floor
+    AND a language allowlist, composed exactly as a training-data pipeline
+    would chain them (dedup -> quality -> lang). One hash aggregation + one
+    broadcast-able semi-join; every stage partial-aggregates map-side."""
+    d = _t(spark, sf_dir, "documents")
+    winners = d.groupBy(F.md5(F.col("text").cast("binary")).alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    n_tokens = F.size(F.split(F.col("text"), r"\s+"))
+    n_nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    avg_len = F.round(n_nonspace / n_tokens, 4)
+    score = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.5
+        + F.least(avg_len / F.lit(10.0), F.lit(1.0)) * 0.5,
+        4,
+    )
+    scored = d.select("doc_id", "lang", score.alias("quality_score"))
+    return (
+        scored.join(winners, "doc_id", "left_semi")
+        .filter((F.col("quality_score") >= 0.6) & F.col("lang").isin("en", "de"))
+    )
+
+
+OPS_CURATION_SQL = r"""
+WITH winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+scored AS (
+  SELECT doc_id, lang,
+         round(least(len(string_split_regex(text, '\s+')) / 100.0, 1.0) * 0.5
+             + least(round(length(replace(text, ' ', '')) * 1.0
+                           / len(string_split_regex(text, '\s+')), 4) / 10.0, 1.0) * 0.5,
+           4) AS quality_score
+  FROM documents
+)
+SELECT s.doc_id, s.lang, s.quality_score
+FROM scored s JOIN winners w ON s.doc_id = w.doc_id
+WHERE s.quality_score >= 0.6 AND s.lang IN ('en', 'de')
+"""
+
+
 def _ivf_assign(spark, sf_dir) -> DataFrame:
     """IVF coarse quantizer: centroids are a deterministic subset of the
     vectors (vec_id % 50 == 0 — a stand-in for a trained codebook; training
@@ -1319,6 +1359,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ops_neardup_embeddings": ops_neardup_embeddings,
     "ops_ann_lsh_buckets": ops_ann_lsh_buckets,
     "ops_ann_lsh_topk": ops_ann_lsh_topk,
+    "ops_curation_pipeline": ops_curation_pipeline,
     "ops_ivf_clusters": ops_ivf_clusters,
     "ops_ivf_topk": ops_ivf_topk,
     "ops_blob_meta": ops_blob_meta,
@@ -1362,6 +1403,7 @@ ORACLES: dict[str, str] = {
     "ops_neardup_embeddings": OPS_NEARDUP_SQL,
     "ops_ann_lsh_buckets": OPS_ANN_LSH_SQL,
     "ops_ann_lsh_topk": OPS_ANN_TOPK_SQL,
+    "ops_curation_pipeline": OPS_CURATION_SQL,
     "ops_ivf_clusters": OPS_IVF_CLUSTERS_SQL,
     "ops_ivf_topk": OPS_IVF_TOPK_SQL,
     "ops_blob_meta": OPS_BLOB_SQL,
