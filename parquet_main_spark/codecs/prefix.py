@@ -39,9 +39,8 @@ from .strutil import from_blob, to_blob
 MAXLEN_LIMIT = 4096
 
 
-def _char_matrix(values: np.ndarray, binary: bool) -> tuple[np.ndarray, np.ndarray, bytes]:
-    lengths, blob = to_blob(values, binary=binary)
-    n = len(values)
+def _char_matrix_lb(lengths: np.ndarray, blob) -> tuple[np.ndarray, np.ndarray, bytes]:
+    n = len(lengths)
     maxlen = int(lengths.max()) if n else 0
     if maxlen > MAXLEN_LIMIT:
         raise ValueError("prefix codec: strings too long")
@@ -56,11 +55,12 @@ def _char_matrix(values: np.ndarray, binary: bool) -> tuple[np.ndarray, np.ndarr
     return lengths.astype(np.int64), mat, blob
 
 
-def encode(values: np.ndarray, binary: bool = False) -> bytes:
-    n = len(values)
+def encode_lb(lengths: np.ndarray, blob) -> bytes:
+    """(lengths, blob) form — byte-identical to encode, no objects."""
+    n = len(lengths)
     if n == 0:
         return struct.pack("<IH", 0, 0)
-    lengths, mat, blob = _char_matrix(values, binary)
+    lengths, mat, blob = _char_matrix_lb(np.ascontiguousarray(lengths, dtype=np.int64), blob)
     maxlen = mat.shape[1]
     if n == 1:
         plens = np.zeros(1, dtype=np.int64)
@@ -87,11 +87,16 @@ def encode(values: np.ndarray, binary: bool = False) -> bytes:
     )
 
 
-def decode(buf: bytes | memoryview, binary: bool = False) -> np.ndarray:
+def encode(values: np.ndarray, binary: bool = False) -> bytes:
+    lengths, blob = to_blob(values, binary=binary)
+    return encode_lb(lengths, blob)
+
+
+def decode_lb(buf: bytes | memoryview) -> tuple[np.ndarray, bytes]:
     buf = memoryview(buf)
     n, maxlen = struct.unpack_from("<IH", buf, 0)
     if n == 0:
-        return np.empty(0, dtype=object)
+        return np.empty(0, dtype=np.int64), b""
     pos = 6
     (la_len,) = struct.unpack_from("<I", buf, pos); pos += 4
     lengths = forpack.decode(buf[pos : pos + la_len]); pos += la_len
@@ -119,5 +124,9 @@ def decode(buf: bytes | memoryview, binary: bool = False) -> np.ndarray:
     take = np.zeros((n, maxlen), dtype=bool)
     col = np.arange(maxlen)
     take[:] = col[None, :] < lengths[:, None]
-    blob = mat[take].tobytes()
+    return lengths, mat[take].tobytes()
+
+
+def decode(buf: bytes | memoryview, binary: bool = False) -> np.ndarray:
+    lengths, blob = decode_lb(buf)
     return from_blob(lengths, blob, binary=binary)

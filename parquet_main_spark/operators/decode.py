@@ -400,7 +400,7 @@ def _decode_group(
         if not mask.any():
             return pa.table({c: pa.array([], type=_pa_type(logical[c])) for c in columns})
 
-    from ..codecs import VAR_TYPES, fsst as _fsst, plain as _plain
+    from ..codecs import VAR_TYPES, fsst as _fsst, plain as _plain, prefix as _prefix
     from ..codecs.strutil import lb_to_arrow
 
     arrays = {}
@@ -412,11 +412,11 @@ def _decode_group(
         dict_blob = tbl.column("dict")[i].as_py()
         params = params_loads(tbl.column("params")[i].as_py())
         validity = unpack_validity(tbl.column("validity")[i].as_py(), n)
-        if codec in ("fsst", "plain") and lt in VAR_TYPES:
+        if codec in ("fsst", "plain", "prefix") and lt in VAR_TYPES:
             # var-len fast path: rebuild the Arrow array straight from
             # (lengths, blob) — zero per-value Python objects
-            lengths, blob = (_fsst.decode_lb(data) if codec == "fsst"
-                             else _plain.decode_var_lb(data))
+            lengths, blob = {"fsst": _fsst.decode_lb, "plain": _plain.decode_var_lb,
+                             "prefix": _prefix.decode_lb}[codec](data)
             arr = lb_to_arrow(lengths, blob, validity, binary=lt == "binary")
         else:
             if codec in ("gdict", "bdict"):

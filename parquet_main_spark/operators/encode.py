@@ -397,7 +397,7 @@ def _encode_group(
         out["enc_bytes"].append(len(blob))
         out["sha256"].append("")
 
-    from ..codecs import VAR_TYPES, fsst as _fsst, plain as _plain
+    from ..codecs import VAR_TYPES, fsst as _fsst, plain as _plain, prefix as _prefix
     from ..codecs.strutil import arrow_to_lb
     from ..functions.arrow import canonical_sha_lb
 
@@ -414,15 +414,18 @@ def _encode_group(
             # (offsets, data) buffers — ZERO per-value Python objects for
             # the html/text columns that dominate the bytes (the object
             # round-trip was the encode UDF's hot spot)
-            if lt in VAR_TYPES and pref in ("fsst", "plain"):
+            if lt in VAR_TYPES and pref in ("fsst", "plain", "prefix"):
                 mask = np.asarray(arr.is_valid()) if arr.null_count else None
                 arr_nn = arr.drop_null() if arr.null_count else arr
                 lengths, blob = arrow_to_lb(arr_nn)
                 raw = int(lengths.sum()) + 4 * len(lengths)
-                data = (_fsst.encode_lb(lengths, blob) if pref == "fsst"
-                        else _plain.encode_var_lb(lengths, blob))
-                enc = len(data)
-                if col in forced or pref == "plain" or enc < raw:
+                try:
+                    data = {"fsst": _fsst.encode_lb, "plain": _plain.encode_var_lb,
+                            "prefix": _prefix.encode_lb}[pref](lengths, blob)
+                except ValueError:
+                    data = None  # e.g. prefix MAXLEN overflow -> generic chain
+                enc = len(data) if data is not None else raw + 1
+                if data is not None and (col in forced or pref == "plain" or enc < raw):
                     ms = xs = None
                     if len(lengths):
                         mm = pc.min_max(arr_nn)
