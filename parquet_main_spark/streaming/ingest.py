@@ -1,0 +1,98 @@
+"""Incremental (Structured Streaming) ingestion into the encoded format.
+
+The reference is strictly batch (SURVEY.md §2.6) and the north rule asks for
+resumable batch jobs — this module is the additive scale path for a
+continuously-crawled corpus: new files land, each micro-batch is encoded
+into its OWN batch directory ``out_root/batch=N`` via the ordinary
+:func:`~parquet_main_spark.operators.encode.encode_table`, and readers union
+the batch directories.
+
+Exactly-once without new machinery: foreachBatch delivers at-least-once, but
+``encode_table`` is already idempotent per (out_dir, snapshot_id) — a
+replayed micro-batch resumes its batch directory and skips completed buckets
+(the lineage checkpoint), so duplicates cannot land. The codec plan is
+decided by the FIRST batch and pinned for all later ones (meta of batch 0),
+keeping id spaces and layouts uniform across the stream; dictionaries are
+bucket-local (bdict) per batch directory, so no cross-batch global state
+exists to go stale.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import replace
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.decode import Predicate, scan
+from ..operators.encode import EncodeConfig, _local_path, encode_table, read_meta
+
+
+def _batch_dir(out_root: str, batch_id: int) -> str:
+    return f"{out_root}/batch={batch_id}"
+
+
+def list_batches(out_root: str) -> list[int]:
+    root = _local_path(out_root)
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("batch="):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def encode_stream(spark: SparkSession, stream_df: DataFrame, out_root: str,
+                  cfg: EncodeConfig, checkpoint_dir: str, available_now: bool = True):
+    """Start (and by default drain) a streaming encode.
+
+    ``cfg.out_dir`` is ignored; each micro-batch writes
+    ``out_root/batch=<id>``. With ``available_now`` the call blocks until all
+    currently-available input is encoded (the batch-job-like trigger);
+    otherwise the running query is returned for the caller to manage.
+    """
+    state: dict[str, object] = {"plan": None}
+    batches = list_batches(out_root)
+    if batches:
+        # restart: pin the plan the stream started with
+        try:
+            state["plan"] = read_meta(spark, _batch_dir(out_root, batches[0]))["plan"]
+        except Exception:
+            pass
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        bcfg = replace(
+            cfg,
+            out_dir=_batch_dir(out_root, batch_id),
+            snapshot_id=f"{cfg.snapshot_id}-b{batch_id}",
+            global_dict_max_card=0,  # bucket-local dicts only: batch dirs stay self-contained
+        )
+        res = encode_table(batch_df.sparkSession, batch_df, bcfg, plan=state["plan"])
+        if state["plan"] is None:
+            state["plan"] = res.plan
+
+    writer = (
+        stream_df.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
+def scan_batches(spark: SparkSession, out_root: str,
+                 columns: list[str] | None = None,
+                 predicate: Predicate | list[Predicate] | None = None) -> DataFrame:
+    """Union scan over every ingested batch directory (same pushdown and
+    pruning per batch as :func:`scan`)."""
+    batches = list_batches(out_root)
+    if not batches:
+        raise FileNotFoundError(f"no batch directories under {out_root}")
+    df = None
+    for b in batches:
+        part = scan(spark, _batch_dir(out_root, b), columns=columns, predicate=predicate)
+        df = part if df is None else df.unionByName(part)
+    return df
