@@ -62,8 +62,9 @@ def encode_lb(lengths: np.ndarray, blob) -> bytes:
         return struct.pack("<IH", 0, 0)
     lengths, mat, blob = _char_matrix_lb(np.ascontiguousarray(lengths, dtype=np.int64), blob)
     maxlen = mat.shape[1]
-    if n == 1:
-        plens = np.zeros(1, dtype=np.int64)
+    if n == 1 or maxlen == 0:
+        # maxlen == 0: every value is the empty string — no prefixes to share
+        plens = np.zeros(n, dtype=np.int64)
     else:
         neq = mat[1:] != mat[:-1]
         any_neq = neq.any(axis=1)

@@ -449,15 +449,34 @@ def _as_pred_list(predicate: Predicate | list[Predicate] | None) -> list[Predica
     return list(predicate)
 
 
-def _list_block_files(out_dir: str) -> list[str]:
-    """Bucket files under out_dir/blocks (local/posix paths; on a real
-    cluster this is one Hadoop FS listing — same driver-side cost Spark's
-    own file index pays)."""
+def _list_block_files(out_dir: str, spark: SparkSession | None = None) -> list[str]:
+    """Bucket files under out_dir/blocks. Posix paths list via glob; Hadoop
+    FS URIs (hdfs://, s3a://, ...) list via the JVM FileSystem (one
+    globStatus — the same driver-side cost Spark's own file index pays) and
+    require a SparkSession. A missing blocks directory raises instead of
+    silently yielding an empty table."""
     import glob
+    import os
 
-    from .encode import _local_path
+    from .encode import _local_path, is_remote_path
 
-    root = _local_path(f"{out_dir}/blocks")
+    path = f"{out_dir}/blocks"
+    if is_remote_path(path):
+        if spark is None:
+            raise NotImplementedError(
+                "remote filesystems need a SparkSession for listing — "
+                "use scan(); the pms_encoded data source is local-path only"
+            )
+        jvm = spark._jvm
+        gp = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket=*/*.parquet")
+        fs = gp.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+            raise FileNotFoundError(f"no blocks directory under {out_dir}")
+        st = fs.globStatus(gp)
+        return sorted(str(s.getPath()) for s in st) if st is not None else []
+    root = _local_path(path)
+    if not os.path.isdir(root):
+        raise FileNotFoundError(f"no blocks directory under {out_dir}")
     return sorted(glob.glob(f"{root}/bucket=*/*.parquet"))
 
 
@@ -488,7 +507,7 @@ def scan(
     preds = _as_pred_list(predicate)
     if columns is None:
         columns = list(logical)
-    files = _list_block_files(out_dir)
+    files = _list_block_files(out_dir, spark)
     out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in columns)
     if not files:
         return spark.createDataFrame([], out_schema)

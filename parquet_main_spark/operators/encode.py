@@ -529,6 +529,25 @@ def _local_path(p: str) -> str:
     return p
 
 
+def is_remote_path(p: str) -> bool:
+    return "://" in p and not p.startswith("file:")
+
+
+def _rm_tree(spark: SparkSession, path: str) -> None:
+    """Recursive delete that works for both posix paths and Hadoop FS URIs
+    (hdfs://, s3a://, ...) — shutil alone would silently no-op on the
+    latter, leaving the stale partitions it is supposed to clear."""
+    if is_remote_path(path):
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+    else:
+        import shutil
+
+        shutil.rmtree(_local_path(path), ignore_errors=True)
+
+
 def completed_buckets(spark: SparkSession, out_dir: str, snapshot_id: str) -> set[int]:
     _, lineage_path, _ = _paths(out_dir)
     try:
@@ -563,10 +582,8 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         # replaces buckets this run produces — stale bucket partitions from
         # the prior snapshot would otherwise survive and leak phantom rows
         # into lineage and scan(); drop them up front
-        import shutil
-
         for p in (blocks_path, lineage_path):
-            shutil.rmtree(_local_path(p), ignore_errors=True)
+            _rm_tree(spark, p)
         prev_meta = None
 
     gdicts: dict[str, np.ndarray] = {}
@@ -687,7 +704,8 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         written.groupBy("bucket")
         .agg(
             F.sum(F.when(F.col("col") == anchor, F.col("n")).otherwise(0)).alias("n_rows"),
-            (F.countDistinct("block_id")).alias("n_blocks"),
+            # bdict dictionary rows live at block_id = -1 and are not blocks
+            F.countDistinct(F.when(F.col("block_id") >= 0, F.col("block_id"))).alias("n_blocks"),
             F.sum("raw_bytes").alias("raw_bytes"),
             F.sum("enc_bytes").alias("enc_bytes"),
             F.to_json(F.sort_array(F.collect_set(F.struct("col", "codec")))).alias("codec_json"),

@@ -1295,13 +1295,20 @@ def ops_blob_meta(spark, sf_dir):
 
         for batch in it:
             blob = batch.column("blob")
+            head = pc.binary_slice(blob, 0, 8)
+            try:
+                magic = pc.cast(head, pa.string())
+            except pa.lib.ArrowInvalid:
+                # genuinely opaque bytes (or a slice mid-codepoint): fall back
+                # to replacement-char decoding for this batch only
+                magic = pa.array(
+                    [None if b is None else bytes(b).decode("utf-8", "replace")
+                     for b in head.to_pylist()],
+                    type=pa.string(),
+                )
             yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("doc_id"),
-                    pc.cast(pc.binary_length(blob), pa.int64()),
-                    pc.cast(pc.binary_slice(blob, 0, 8), pa.string()),
-                    blob,
-                ],
+                [batch.column("doc_id"), pc.cast(pc.binary_length(blob), pa.int64()),
+                 magic, blob],
                 ["doc_id", "n_bytes", "magic", "blob"],
             )
 

@@ -108,6 +108,12 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
                     v = v.replace(tzinfo=datetime.timezone.utc)
                 return int(v.timestamp() * 1_000_000)
             return int(v)
+        if lt == "date32":
+            import datetime
+
+            if isinstance(v, datetime.date):
+                return (v - datetime.date(1970, 1, 1)).days
+            return int(v)
         if lt == "binary" and isinstance(v, (bytearray, memoryview)):
             return bytes(v)
         return v

@@ -179,3 +179,11 @@ def test_prefix_edge_cases():
         STR_FIXTURES["urls"],  # unsorted: still exact, just less compression
     ):
         np.testing.assert_array_equal(prefix.decode(prefix.encode(vals)), vals)
+
+
+def test_prefix_all_empty_strings():
+    """A block of empty strings is validly encodable (maxlen=0)."""
+    from parquet_main_spark.codecs import prefix
+
+    v = np.array(["", "", ""], dtype=object)
+    np.testing.assert_array_equal(prefix.decode(prefix.encode(v)), v)

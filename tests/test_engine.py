@@ -354,3 +354,36 @@ def test_null_predicates(spark, tmp_path):
     n = scan(spark, out, columns=["k", "v"],
              predicate=[Predicate("v", "notnull", None), Predicate("k", "<", 100)]).count()
     assert n == df.filter("v IS NOT NULL AND k < 100").count()
+
+
+def test_datasource_date_pushdown(spark, tmp_path):
+    """Pushed DATE filters convert to int days before hitting the int zone
+    maps (review finding: datetime.date leaked through conv())."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    df = spark.sql(
+        "SELECT id AS k, date_add(DATE '2024-01-01', CAST(id % 40 AS INT)) AS day FROM range(800)"
+    )
+    out = str(tmp_path / "dsdate")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=128, snapshot_id="t1"))
+    got = spark.read.format(FORMAT_NAME).load(out)
+    for cond in ("day < DATE '2024-01-10'", "day IN (DATE '2024-01-03', DATE '2024-01-07')"):
+        assert got.filter(cond).count() == df.filter(cond).count(), cond
+
+
+def test_lineage_n_blocks_excludes_dict_rows(spark, tmp_path):
+    df = webpages(spark, 1000, partitions=2).select("url", "lang")
+    out = str(tmp_path / "nblk")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="url", buckets=2,
+                                         block_size=128, snapshot_id="t1",
+                                         global_dict_max_card=0),
+                 plan={"url": "prefix", "lang": "dict"})
+    rows = spark.read.parquet(f"{out}/lineage").collect()
+    blocks = spark.read.parquet(f"{out}/blocks")
+    for r in rows:
+        real = blocks.filter(
+            (F.col("bucket") == r["bucket"]) & (F.col("block_id") >= 0)
+        ).select("block_id").distinct().count()
+        assert r["n_blocks"] == real
