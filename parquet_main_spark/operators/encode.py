@@ -368,18 +368,47 @@ def _encode_group(
     # mid-cardinality columns. Forced-"dict" columns keep the per-block form
     # (that IS the forced codec).
     bucket_dicts: dict[str, np.ndarray] = {}
+    bctx: dict[str, dict] = {}  # per-column bucket encode context: rank ids
+    # for the WHOLE bucket (np.unique return_inverse), computed once — blocks
+    # slice them instead of re-materializing values + searchsorted per block
+    from ..codecs import VAR_TYPES as _VT, _NP_DTYPE, rle as _rle
+    from ..codecs.bitpack import bit_width as _bw
+    from ..codecs.strutil import arrow_to_lb as _a2lb
+
     for col in cols:
         if plan.get(col) != "dict" or col in forced:
             continue
         lt = logical[col]
         ct = codec_type(lt)
-        vals_all, _ = arrow_to_dense(tbl.column(col), lt)
+        arr_all = tbl.column(col)
+        if isinstance(arr_all, pa.ChunkedArray):
+            arr_all = arr_all.combine_chunks()
+        vals_all, mask_all = arrow_to_dense(arr_all, lt)
         if len(vals_all) == 0:
             continue
         if ct in FLOAT_TYPES and np.isnan(np.asarray(vals_all, dtype=np.float64)).any():
             continue  # NaN has no rank; per-block dict handles it
-        uniq = _dc.sorted_unique(vals_all, _DICT_KIND[ct])
+        if ct in ("string", "binary"):
+            conv = vals_all
+        elif ct in FLOAT_TYPES:
+            conv = np.ascontiguousarray(vals_all, dtype=np.float64)
+        else:
+            conv = np.ascontiguousarray(vals_all, dtype=np.int64)
+        uniq, inverse = np.unique(conv, return_inverse=True)
         bucket_dicts[col] = uniq
+        ctx: dict = {"ids": inverse.astype(np.int64), "uniq": uniq,
+                     "mask": mask_all, "width": _bw(len(uniq) - 1)}
+        if mask_all is not None:
+            dc = np.zeros(len(mask_all) + 1, dtype=np.int64)
+            np.cumsum(mask_all, out=dc[1:])
+            ctx["dense_cum"] = dc
+        if lt in _VT:
+            arr_nn = arr_all.drop_null() if arr_all.null_count else arr_all
+            lengths_all, blob_all = _a2lb(arr_nn)
+            off = np.zeros(len(lengths_all) + 1, dtype=np.int64)
+            np.cumsum(lengths_all, out=off[1:])
+            ctx.update(lengths=lengths_all, blob=blob_all, off=off)
+        bctx[col] = ctx
         blob = _dc.pack_dict(uniq, _DICT_KIND[ct])
         out["bucket"].append(bucket)
         out["block_id"].append(-1)
@@ -403,12 +432,67 @@ def _encode_group(
 
     for block_id, start in enumerate(range(0, n_rows, block_size)):
         chunk = tbl.slice(start, block_size)
+        end = min(start + block_size, n_rows)
         for col in cols:
             lt = logical[col]
+
+            if col in bctx:
+                # bucket-dict column: slice the precomputed rank ids — no
+                # per-block value materialization, no searchsorted
+                c = bctx[col]
+                ct = codec_type(lt)
+                if c["mask"] is None:
+                    mask = None
+                    ds, de = start, end
+                else:
+                    mask = c["mask"][start:end]
+                    ds, de = int(c["dense_cum"][start]), int(c["dense_cum"][end])
+                ids_blk = c["ids"][ds:de]
+                data = _rle.encode(ids_blk.astype(np.uint64), c["width"])
+                mi = ma = mn = mx = ms = xs = None
+                if len(ids_blk):
+                    lo_v = c["uniq"][int(ids_blk.min())]
+                    hi_v = c["uniq"][int(ids_blk.max())]
+                    if lt in _VT:
+                        ms, xs = _var_bounds(lo_v, hi_v, lt)
+                    elif ct in FLOAT_TYPES:
+                        mn, mx = float(lo_v), float(hi_v)
+                    else:
+                        mi, ma = int(lo_v), int(hi_v)
+                if lt in _VT:
+                    lens = c["lengths"][ds:de]
+                    raw = int(lens.sum()) + 4 * len(lens)
+                    blob_s = c["blob"][c["off"][ds] : c["off"][de]]
+                    sha = canonical_sha_lb(lens, blob_s, mask)
+                else:
+                    vals_blk = c["uniq"][ids_blk].astype(_NP_DTYPE[ct], copy=False)
+                    raw = int(vals_blk.nbytes)
+                    sha = canonical_sha(vals_blk, mask, ct)
+                out["bucket"].append(bucket)
+                out["block_id"].append(block_id)
+                out["col"].append(col)
+                out["codec"].append("bdict")
+                out["params"].append(params_dumps({}))
+                out["n"].append(end - start)
+                out["null_count"].append((end - start) - len(ids_blk))
+                out["validity"].append(pack_validity(mask))
+                out["data"].append(data)
+                out["dict"].append(None)
+                out["min_int"].append(mi)
+                out["max_int"].append(ma)
+                out["min_num"].append(mn)
+                out["max_num"].append(mx)
+                out["min_str"].append(ms)
+                out["max_str"].append(xs)
+                out["raw_bytes"].append(raw)
+                out["enc_bytes"].append(len(data))
+                out["sha256"].append(sha)
+                continue
+
             arr = chunk.column(col)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
-            pref = "bdict" if col in bucket_dicts else plan.get(col, "plain")
+            pref = plan.get(col, "plain")
 
             # var-len fast path: fsst/plain feed straight from the Arrow
             # (offsets, data) buffers — ZERO per-value Python objects for
