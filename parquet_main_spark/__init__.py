@@ -20,4 +20,25 @@ All kernels are vectorized numpy/Arrow inside pandas UDFs — never per-row
 Python in the hot path.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name):
+    # lazy public API (keeps `import parquet_main_spark` free of pyspark cost)
+    if name in ("EncodeConfig", "EncodeResult", "encode_table", "read_meta"):
+        from .operators import encode as _e
+
+        return getattr(_e, name)
+    if name in ("Predicate", "scan", "pruning_report"):
+        from .operators import decode as _d
+
+        return getattr(_d, name)
+    if name == "get_spark":
+        from .session import get_spark
+
+        return get_spark
+    if name == "register_datasource":
+        from .sources.datasource import register
+
+        return register
+    raise AttributeError(name)

@@ -517,14 +517,26 @@ def scan(
     )
 
 
-def pruning_report(spark: SparkSession, out_dir: str, predicate: Predicate) -> dict[str, int]:
+def pruning_report(spark: SparkSession, out_dir: str,
+                   predicate: Predicate | list[Predicate]) -> dict[str, int]:
     """How many blocks the zone map eliminated (page-skip observability,
-    the reference's skipped-page accounting analog)."""
+    the reference's skipped-page accounting analog). A list reports the
+    conjunction (a block survives only if every predicate retains it)."""
     meta = read_meta(spark, out_dir)
-    lt = meta["logical"][predicate.col]
-    col_blocks = read_blocks(spark, out_dir).filter(
-        (F.col("col") == predicate.col) & (F.col("block_id") >= 0)
-    )
-    total = col_blocks.count()
-    kept = col_blocks.filter(prune_filter(predicate, lt)).count()
+    preds = _as_pred_list(predicate)
+    anchor = preds[0].col
+    blocks = read_blocks(spark, out_dir).filter(F.col("block_id") >= 0)
+    total = blocks.filter(F.col("col") == anchor).count()
+    surviving = None
+    for pred in preds:
+        lt = meta["logical"][pred.col]
+        surv = (
+            blocks.filter(F.col("col") == pred.col)
+            .filter(prune_filter(pred, lt))
+            .select("bucket", "block_id")
+        )
+        surviving = surv if surviving is None else surviving.join(
+            surv, ["bucket", "block_id"], "left_semi"
+        )
+    kept = surviving.distinct().count()
     return {"total_blocks": total, "kept_blocks": kept, "pruned_blocks": total - kept}
