@@ -387,3 +387,24 @@ def test_lineage_n_blocks_excludes_dict_rows(spark, tmp_path):
             (F.col("bucket") == r["bucket"]) & (F.col("block_id") >= 0)
         ).select("block_id").distinct().count()
         assert r["n_blocks"] == real
+
+
+def test_resume_with_bucket_dicts(spark, tmp_path):
+    """Interrupted + resumed encode is byte-identical to uninterrupted when
+    bucket-shared dictionaries are in play (dicts are per-bucket, so resume
+    rebuilds exactly the same dict rows for the remaining buckets)."""
+    df = webpages(spark, 1500, partitions=4).select("url", "lang")
+    plan = {"url": "prefix", "lang": "dict"}
+    cfg_kw = dict(buckets=4, block_size=128, snapshot_id="t1", global_dict_max_card=0)
+    out = str(tmp_path / "resume_bd")
+    partial = df.filter(F.pmod(F.xxhash64("url"), F.lit(4)).isin(0, 1))
+    encode_table(spark, partial, EncodeConfig(out_dir=out, **cfg_kw), plan=plan)
+    encode_table(spark, df, EncodeConfig(out_dir=out, **cfg_kw), plan=plan)
+    out_ref = str(tmp_path / "ref_bd")
+    encode_table(spark, df, EncodeConfig(out_dir=out_ref, **cfg_kw), plan=plan)
+    l1 = spark.read.parquet(f"{out}/lineage").select("bucket", "content_sha", "n_rows").collect()
+    lr = spark.read.parquet(f"{out_ref}/lineage").select("bucket", "content_sha", "n_rows").collect()
+    assert sorted(map(tuple, l1)) == sorted(map(tuple, lr))
+    got = scan(spark, out, columns=["url", "lang"],
+               predicate=Predicate("lang", "isin", ["en", "de"]))
+    assert got.count() == df.filter("lang in ('en','de')").count()
