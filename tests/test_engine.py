@@ -408,3 +408,18 @@ def test_resume_with_bucket_dicts(spark, tmp_path):
     got = scan(spark, out, columns=["url", "lang"],
                predicate=Predicate("lang", "isin", ["en", "de"]))
     assert got.count() == df.filter("lang in ('en','de')").count()
+
+
+def test_datasource_decimal_pushdown(spark, tmp_path):
+    """Pushed DECIMAL filters convert by scale to unscaled ints before
+    hitting the int zone maps."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    df = spark.sql("SELECT id AS k, CAST(id * 1.5 AS DECIMAL(12,2)) AS price FROM range(600)")
+    out = str(tmp_path / "dsdec")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=128, snapshot_id="t1"))
+    got = spark.read.format(FORMAT_NAME).load(out)
+    for cond in ("price >= 450.00", "price = 300.00"):
+        assert got.filter(cond).count() == df.filter(cond).count(), cond
