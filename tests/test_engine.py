@@ -423,3 +423,18 @@ def test_datasource_decimal_pushdown(spark, tmp_path):
     got = spark.read.format(FORMAT_NAME).load(out)
     for cond in ("price >= 450.00", "price = 300.00"):
         assert got.filter(cond).count() == df.filter(cond).count(), cond
+
+
+def test_null_bucket_key(spark, tmp_path):
+    """NULL values in the bucket key hash deterministically (xxhash64(NULL)
+    = seed constant) into one bucket and round-trip exactly."""
+    df = spark.sql(
+        "SELECT CASE WHEN id % 11 = 0 THEN NULL ELSE CONCAT('k', id) END AS k, id AS v "
+        "FROM range(500)"
+    )
+    out = str(tmp_path / "nullkey")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=4,
+                                         block_size=64, snapshot_id="t1"))
+    got = scan(spark, out)
+    assert got.count() == 500
+    assert got.filter("k IS NULL").count() == df.filter("k IS NULL").count() > 0
