@@ -325,8 +325,18 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
             if out.num_rows:
                 yield from out.to_batches()
     for bid in sorted(pending):  # defensive: flush any leftovers
-        out = _decode_group(logical, columns, preds, False, None,
-                            pa.concat_tables(pending[bid]), dicts)
+        group = pa.concat_tables(pending[bid])
+        have = set(group.column("col").to_pylist())
+        missing = [c for c in needed if c not in have]
+        if missing:
+            # complete groups were flushed in the main loop, so a leftover is
+            # corruption (or a file written under a different schema) — name
+            # it instead of KeyError-ing deep inside _decode_group
+            raise RuntimeError(
+                f"corrupt encoded file {path}: block {bid} has no row for "
+                f"column(s) {missing} (present: {sorted(have)})"
+            )
+        out = _decode_group(logical, columns, preds, False, None, group, dicts)
         if out.num_rows:
             yield from out.to_batches()
 
@@ -524,6 +534,8 @@ def pruning_report(spark: SparkSession, out_dir: str,
     conjunction (a block survives only if every predicate retains it)."""
     meta = read_meta(spark, out_dir)
     preds = _as_pred_list(predicate)
+    if not preds:
+        raise ValueError("pruning_report needs at least one predicate")
     anchor = preds[0].col
     blocks = read_blocks(spark, out_dir).filter(F.col("block_id") >= 0)
     total = blocks.filter(F.col("col") == anchor).count()

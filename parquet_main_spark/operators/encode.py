@@ -703,7 +703,15 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                     if logical[c] == "timestamp":
                         e = F.unix_micros(e)
                     elif logical[c] == "timestamp_ntz":
-                        e = F.unix_micros(F.to_utc_timestamp(e, "UTC"))
+                        # wall-clock micros computed timezone-independently:
+                        # to_utc_timestamp would implicitly cast NTZ via the
+                        # SESSION timezone and shift the dictionary relative
+                        # to the wall micros the encoder writes
+                        e = F.timestamp_diff(
+                            "MICROSECOND",
+                            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
+                            e,
+                        )
                     elif logical[c] == "date32":
                         e = F.unix_date(e)
                     aggs.append(

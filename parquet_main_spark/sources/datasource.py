@@ -66,6 +66,28 @@ def _read_meta_local(out_dir: str) -> dict:
     }
 
 
+def _session_zone():
+    """tzinfo of spark.sql.session.timeZone (planning runs on the driver, so
+    the active session is available). LookupError when it cannot be resolved —
+    the caller then declines the pushdown instead of guessing."""
+    import datetime
+
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        raise LookupError("no active SparkSession")
+    name = sess.conf.get("spark.sql.session.timeZone")
+    if name in ("UTC", "Z", "GMT", "+00:00"):
+        return datetime.timezone.utc
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception as exc:  # unknown zone id / fixed offsets like GMT+8
+        raise LookupError(f"cannot resolve session timezone {name!r}") from exc
+
+
 def _filter_to_predicate(f: Filter, logical: dict[str, str]):
     """Map a Catalyst filter to an engine Predicate (None = unsupported,
     Spark keeps evaluating it post-scan)."""
@@ -105,7 +127,15 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
 
             if isinstance(v, datetime.datetime):
                 if v.tzinfo is None:
-                    v = v.replace(tzinfo=datetime.timezone.utc)
+                    # Spark hands naive datetimes rendered in the SESSION
+                    # timezone. timestamp_ntz stores wall-clock micros, so
+                    # treating the naive value as UTC yields exactly those;
+                    # timestamp stores instant micros and must be localized
+                    # with the session zone first.
+                    if lt == "timestamp":
+                        v = v.replace(tzinfo=_session_zone())
+                    else:
+                        v = v.replace(tzinfo=datetime.timezone.utc)
                 return int(v.timestamp() * 1_000_000)
             return int(v)
         if lt == "date32":
@@ -120,9 +150,16 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
 
     if op in ("isnull", "notnull"):
         return Predicate(col, op, None)
-    if op == "isin":
-        return Predicate(col, "isin", [conv(v) for v in f.value])
-    return Predicate(col, op, conv(f.value))
+    try:
+        if op == "isin":
+            # NULL elements never match under SQL semantics, so dropping them
+            # keeps the pushed filter exact (and conv never sees None)
+            return Predicate(col, "isin", [conv(v) for v in f.value if v is not None])
+        if f.value is None:
+            return None  # comparison to NULL matches nothing; don't consume
+        return Predicate(col, op, conv(f.value))
+    except LookupError:
+        return None  # unresolvable session timezone: let Spark evaluate it
 
 
 class EncodedTableReader(DataSourceReader):

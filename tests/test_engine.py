@@ -438,3 +438,93 @@ def test_null_bucket_key(spark, tmp_path):
     got = scan(spark, out)
     assert got.count() == 500
     assert got.filter("k IS NULL").count() == df.filter("k IS NULL").count() > 0
+
+
+@pytest.fixture()
+def ny_session_tz(spark):
+    """Temporarily run with a non-UTC session timezone (restores UTC)."""
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    yield "America/New_York"
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_datasource_timestamp_pushdown_non_utc_session(spark, tmp_path, ny_session_tz):
+    """Pushed timestamp filters stay exact when the session timezone is not
+    UTC: Spark hands naive datetime literals in the SESSION zone, and the
+    pushdown localizes them before comparing against the stored instants
+    (consumed filters are never re-evaluated by Spark)."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    df = spark.sql(
+        "SELECT id AS k, timestampadd(HOUR, CAST(id AS INT), TIMESTAMP'2024-03-01 00:00:00') AS ts "
+        "FROM range(500)"
+    )
+    out = str(tmp_path / "dstz")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=128, snapshot_id="t1"))
+    got = spark.read.format(FORMAT_NAME).load(out)
+    for cond in ("ts = TIMESTAMP'2024-03-05 07:00:00'",
+                 "ts >= TIMESTAMP'2024-03-15 00:00:00'",
+                 "ts BETWEEN TIMESTAMP'2024-03-04 00:00:00' AND TIMESTAMP'2024-03-06 00:00:00'"):
+        assert got.filter(cond).count() == df.filter(cond).count(), cond
+
+
+def test_datasource_in_filter_with_null(spark, tmp_path):
+    """col IN (..., NULL) pushes down exactly: NULL elements never match and
+    are dropped instead of crashing planning or executor comparisons."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    df = spark.sql("SELECT id AS k, CAST(id % 7 AS INT) AS v, "
+                   "CAST(id * 0.25 AS DECIMAL(10,2)) AS price FROM range(400)")
+    out = str(tmp_path / "dsinnull")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=64, snapshot_id="t1"))
+    got = spark.read.format(FORMAT_NAME).load(out)
+    for cond in ("v IN (1, 3, NULL)", "price IN (25.00, NULL)", "k IN (NULL)"):
+        assert got.filter(cond).count() == df.filter(cond).count(), cond
+
+
+def test_gdict_timestamp_ntz_non_utc_session(spark, tmp_path, ny_session_tz):
+    """Global-dictionary values for timestamp_ntz are wall-clock micros
+    computed timezone-independently; a non-UTC session must not shift the
+    dictionary relative to the encoder's Arrow wall micros."""
+    df = spark.sql(
+        "SELECT id AS k, CAST(timestampadd(HOUR, CAST(id % 24 AS INT), "
+        "TIMESTAMP'2024-06-01 00:00:00') AS TIMESTAMP_NTZ) AS tntz FROM range(600)"
+    )
+    out = str(tmp_path / "ntzgd")
+    res = encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                               block_size=128, snapshot_id="t1"))
+    assert res.plan["tntz"] == "gdict"  # 24 distinct values -> global dict
+    got = _sorted_pdf(scan(spark, out), order="k")
+    want = _sorted_pdf(df, order="k")
+    pd.testing.assert_series_equal(got["tntz"], want["tntz"])
+
+
+def test_pruning_report_empty_predicates_raises(spark, encoded):
+    out, _, _ = encoded
+    with pytest.raises(ValueError, match="at least one predicate"):
+        pruning_report(spark, out, [])
+
+
+def test_corrupt_file_missing_column_row_raises(spark, tmp_path):
+    """A bucket file missing one column's row for a block raises a
+    descriptive corruption error (not a KeyError deep in decode)."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    df = spark.sql("SELECT CONCAT('u', id) AS url, CAST(id AS INT) AS v FROM range(300)")
+    out = str(tmp_path / "corrupt")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=1, block_size=64,
+                                         snapshot_id="t1"))
+    path = sorted(glob.glob(f"{out}/blocks/bucket=*/*.parquet"))[0]
+    tbl = pq.read_table(path)
+    keep = pc.invert(pc.and_(pc.equal(tbl.column("col"), "v"),
+                             pc.equal(tbl.column("block_id"), 2)))
+    pq.write_table(tbl.filter(keep), path)
+    with pytest.raises(Exception, match="corrupt encoded file"):
+        scan(spark, out).count()
