@@ -23,7 +23,7 @@ from . import delta, dict_codec, forpack, fsst, plain, prefix, rle
 from .bitpack import bit_width
 
 #: bump when any on-disk block/codec layout changes (readers reject mismatches)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 INT_TYPES = {"int8", "int16", "int32", "int64", "timestamp", "timestamp_ntz", "date32"}
 FLOAT_TYPES = {"float32", "float64"}

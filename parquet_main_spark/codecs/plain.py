@@ -7,10 +7,18 @@ buffers; strings/binary are FOR-packed lengths + one concatenated blob
 (the Arrow layout, cf. DELTA_LENGTH_BYTE_ARRAY —
 EncValuesWriterFactory.java:118-120).
 
+PLAIN is the fallback of last resort, so its var-len blob is the one payload
+that would otherwise ship entirely uncompressed (fsst declined = no substring
+redundancy); a zstd wrap recovers entropy-level compression there — the
+analog of the reference's general-purpose page compression with lazy
+decompress (CompressedDataPageV1.java:15-45).
+
 Layout::
 
     fixed-width:  u8 itemsize, u32 n, raw LE bytes
-    var-length:   u32 n, u32 len_bytes, forpack(lengths), blob
+    var-length:   u8 flags, u32 n, u32 len_bytes,
+                  [u64 raw_blob_size when flags&1], forpack(lengths), blob
+                  (flags bit0: blob is zstd-compressed)
 """
 
 from __future__ import annotations
@@ -23,6 +31,18 @@ from . import forpack
 from .strutil import from_blob, to_blob
 
 _DTYPES = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}
+
+#: only wrap blobs at least this large (zstd framing overhead), and only when
+#: the compressed form actually saves >10% — determinism holds either way
+#: (zstd at a fixed level is deterministic for a given library version)
+_ZSTD_MIN_BLOB = 256
+_ZSTD_MAX_RATIO = 0.9
+
+
+def _zstd():
+    import pyarrow as pa
+
+    return pa.Codec("zstd")
 
 
 def encode_fixed(values: np.ndarray) -> bytes:
@@ -39,14 +59,31 @@ def decode_fixed(buf: bytes | memoryview, dtype: np.dtype) -> np.ndarray:
 def encode_var_lb(lengths: np.ndarray, blob) -> bytes:
     """(lengths, blob) form — byte-identical to encode_var, no objects."""
     lb = forpack.encode(np.ascontiguousarray(lengths, dtype=np.int64))
-    return struct.pack("<II", len(lengths), len(lb)) + lb + bytes(blob)
+    raw = bytes(blob)
+    flags, payload = 0, raw
+    if len(raw) >= _ZSTD_MIN_BLOB:
+        comp = bytes(_zstd().compress(raw))
+        if len(comp) < _ZSTD_MAX_RATIO * len(raw):
+            flags, payload = 1, comp
+    head = struct.pack("<BII", flags, len(lengths), len(lb))
+    if flags & 1:
+        head += struct.pack("<Q", len(raw))
+    return head + lb + payload
 
 
 def decode_var_lb(buf: bytes | memoryview) -> tuple[np.ndarray, memoryview]:
     buf = memoryview(buf)
-    n, len_bytes = struct.unpack_from("<II", buf, 0)
-    lengths = forpack.decode(buf[8 : 8 + len_bytes])
-    return lengths, buf[8 + len_bytes :]
+    flags, n, len_bytes = struct.unpack_from("<BII", buf, 0)
+    pos = 9
+    raw_size = None
+    if flags & 1:
+        (raw_size,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+    lengths = forpack.decode(buf[pos : pos + len_bytes])
+    payload = buf[pos + len_bytes :]
+    if flags & 1:
+        payload = memoryview(_zstd().decompress(payload, raw_size))
+    return lengths, payload
 
 
 def encode_var(values: np.ndarray, binary: bool = False) -> bytes:

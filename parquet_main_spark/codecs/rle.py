@@ -34,6 +34,15 @@ from .bitpack import pack_bits, unpack_bits
 
 MIN_RLE_RUN = 8
 
+#: decode walks segments in a Python loop, so the segment count per block is
+#: bounded at encode time: when the run structure would produce more than
+#: max(MAX_SEGMENTS_FLOOR, n // MIN_VALUES_PER_SEGMENT) segments (adversarial
+#: run-length-~8 data -> n/8 segments), the whole block is emitted as ONE
+#: bit-packed segment instead — for such short runs RLE barely compresses
+#: anyway (varint header + value bytes per run vs run*width bits packed)
+MAX_SEGMENTS_FLOOR = 8
+MIN_VALUES_PER_SEGMENT = 64
+
 
 def _varint(x: int) -> bytes:
     out = bytearray()
@@ -72,8 +81,17 @@ def encode(values: np.ndarray, width: int) -> bytes:
     ends = np.concatenate((change + 1, [n]))
     lengths = ends - starts
     is_rle = lengths >= MIN_RLE_RUN
-    i = 0
     nruns = len(starts)
+    # segment count this layout would produce: one per RLE run plus one per
+    # maximal stretch of short runs (a stretch = a False-run in is_rle)
+    n_rle = int(is_rle.sum())
+    stretch_starts = ~is_rle & np.concatenate(([True], is_rle[:-1]))
+    n_segments = n_rle + int(stretch_starts.sum())
+    if n_segments > max(MAX_SEGMENTS_FLOOR, n // MIN_VALUES_PER_SEGMENT):
+        out.append(_varint((n << 1) | 1))
+        out.append(pack_bits(v, width))
+        return b"".join(out)
+    i = 0
     while i < nruns:
         if is_rle[i]:
             out.append(_varint(int(lengths[i]) << 1))

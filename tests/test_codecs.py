@@ -187,3 +187,68 @@ def test_prefix_all_empty_strings():
 
     v = np.array(["", "", ""], dtype=object)
     np.testing.assert_array_equal(prefix.decode(prefix.encode(v)), v)
+
+
+def test_rle_segment_count_bounded_adversarial():
+    """Adversarial run-length-8 data must not yield n/8 decode segments: the
+    encoder caps segments per block and falls back to one packed segment, so
+    decode stays within ~2x of the pure bit-packed path."""
+    import time
+
+    import numpy as np
+
+    from parquet_main_spark.codecs import rle
+    from parquet_main_spark.codecs.bitpack import pack_bits, unpack_bits
+
+    rng = np.random.default_rng(7)
+    n = 1 << 16
+    vals = np.repeat(rng.integers(0, 16, n // 8, dtype=np.uint64), 8)  # runs of 8
+    blob = rle.encode(vals, 4)
+    assert np.array_equal(rle.decode(blob), vals)
+    packed = pack_bits(vals, 4)
+
+    def best(f, reps=5):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); f(); ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_rle = best(lambda: rle.decode(blob))
+    t_packed = best(lambda: unpack_bits(packed, n, 4))
+    assert t_rle < 2.0 * t_packed + 1e-4, (t_rle, t_packed)
+
+    # genuinely long runs still use RLE segments (and still round-trip)
+    long_runs = np.repeat(rng.integers(0, 16, 32, dtype=np.uint64), 2048)
+    blob2 = rle.encode(long_runs, 4)
+    assert len(blob2) < len(pack_bits(long_runs, 4)) // 8
+    assert np.array_equal(rle.decode(blob2), long_runs)
+
+
+def test_plain_var_zstd_wrap_roundtrip():
+    """fsst-resistant var-len data (high-entropy base64-ish strings) still
+    gets entropy-level compression from the zstd wrap on PLAIN blobs, and
+    round-trips exactly; tiny blobs stay unwrapped."""
+    import numpy as np
+
+    from parquet_main_spark.codecs import plain
+
+    rng = np.random.default_rng(11)
+    alpha = np.frombuffer(
+        b"ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/", np.uint8
+    )
+    vals = np.array(
+        [alpha[rng.integers(0, 64, 80)].tobytes().decode() for _ in range(2000)],
+        dtype=object,
+    )
+    blob = plain.encode_var(vals)
+    raw = sum(len(v) for v in vals) + 4 * len(vals)
+    assert len(blob) < 0.9 * raw  # zstd wrap engaged and paid
+    out = plain.decode_var(blob)
+    assert (out == vals).all()
+
+    small = np.array(["ab", "cd"], dtype=object)
+    b2 = plain.encode_var(small)
+    assert (plain.decode_var(b2) == small).all()
+
+    empty = np.array([], dtype=object)
+    assert len(plain.decode_var(plain.encode_var(empty))) == 0
