@@ -54,14 +54,63 @@ _OPS = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
 class Predicate:
     """Single-column comparison pushed into the scan.
 
-    op in {=, !=, <, <=, >, >=, between, isin, isnull, notnull}; value is a
-    scalar, (lo, hi) for between, a list for isin, ignored for the null
-    tests. Timestamps: int micros; decimals: unscaled ints.
+    op in {=, !=, <, <=, >, >=, between, isin, isnull, notnull, startswith};
+    value is a scalar, (lo, hi) for between, a list for isin, ignored for the
+    null tests, a string prefix for startswith (string columns only).
+    Timestamps: int micros; decimals: unscaled ints.
     """
 
     col: str
     op: str
     value: Any
+
+
+@dataclass
+class And:
+    """Conjunction of predicate expressions (Predicate / And / Or / Not)."""
+
+    children: list
+
+    def __init__(self, children):
+        self.children = list(children)
+
+
+@dataclass
+class Or:
+    """Disjunction of predicate expressions — the reference's filter surface
+    is an arbitrary ``Predicate<Statistics<?>>`` (SkippingColumnReaderImpl
+    .java:430-437), which trivially expresses OR; zone-map survival unions
+    the children's surviving block sets, row masks use Kleene three-valued
+    logic so NULLs behave exactly as SQL."""
+
+    children: list
+
+    def __init__(self, children):
+        self.children = list(children)
+
+
+@dataclass
+class Not:
+    """Negation. Zone maps keep every block (conservatively — refuting
+    "may contain a match" would need definitely-all-match bounds analysis);
+    the row mask is exact: NOT(NULL) stays NULL and the row is not returned."""
+
+    child: Any
+
+
+def _expr_leaves(expr) -> list[Predicate]:
+    if expr is None:
+        return []
+    if isinstance(expr, Predicate):
+        return [expr]
+    if isinstance(expr, Not):
+        return _expr_leaves(expr.child)
+    if isinstance(expr, (And, Or)):
+        out = []
+        for c in expr.children:
+            out.extend(_expr_leaves(c))
+        return out
+    raise TypeError(f"not a predicate expression: {expr!r}")
 
 
 def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -274,15 +323,28 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
         if not surviving:
             return
     md = f.metadata
-    bid_idx = md.schema.to_arrow_schema().get_field_index("block_id")
+    arrow_schema = md.schema.to_arrow_schema()
+    bid_idx = arrow_schema.get_field_index("block_id")
+    col_idx = arrow_schema.get_field_index("col")
+    needed_set = set(needed)
     # per-bucket dictionaries (block_id = -1 rows, written first in the
     # file) overlay the global ones for this file's blocks
     dicts = dict(gdicts)
     pending: dict[int, list[pa.Table]] = {}
     pending_rows: dict[int, int] = {}
     for rg in range(md.num_row_groups):
+        rgmd = md.row_group(rg)
+        # column-chunk skip: the writer emits one row per row group, so the
+        # `col` stats pin each row group to a single column — row groups of
+        # columns this scan doesn't need are never read (the reference's
+        # readNextRowGroup(ColumnChunkMetaData[]) chunk selection,
+        # ParquetFileReader.java:709-719)
+        cst = rgmd.column(col_idx).statistics
+        if (cst is not None and cst.has_min_max
+                and cst.min == cst.max and cst.min not in needed_set):
+            continue
         if surviving is not None:
-            st = md.row_group(rg).column(bid_idx).statistics
+            st = rgmd.column(bid_idx).statistics
             if st is not None and st.has_min_max and st.min >= 0:
                 if not any(st.min <= b <= st.max for b in surviving):
                     continue  # row-group skip: no surviving block inside

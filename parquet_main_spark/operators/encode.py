@@ -41,11 +41,23 @@ from ..functions.arrow import (
 )
 from ..plans.selector import choose_codec, column_sample_stats
 
+#: logical schema of the blocks table as `spark.read.parquet(<dir>/blocks)`
+#: exposes it (the `bucket` column comes from the bucket=K directory; the
+#: remaining columns live in the per-bucket parquet files the encode tasks
+#: write directly — one row per row group, see _write_bucket_file)
 BLOCKS_SCHEMA = (
     "bucket int, block_id int, col string, codec string, params string, "
     "n bigint, null_count bigint, validity binary, data binary, dict binary, "
     "min_int bigint, max_int bigint, min_num double, max_num double, "
     "min_str string, max_str string, raw_bytes bigint, enc_bytes bigint, sha256 string"
+)
+
+#: what each encode task yields: one lineage row per bucket it wrote (the
+#: bucket parquet file itself is written by the task, so lineage needs no
+#: second pass over the blocks)
+LINEAGE_TASK_SCHEMA = (
+    "bucket int, n_rows bigint, n_blocks bigint, raw_bytes bigint, "
+    "enc_bytes bigint, codec_json string, content_sha string"
 )
 
 STATS_SCHEMA = "col string, stats string"
@@ -291,6 +303,70 @@ def _var_bounds(lo, hi, lt: str) -> tuple[str | None, str | None]:
     return ms, xs
 
 
+def _write_bucket_file(blocks_path: str, bucket: int, tbl: pa.Table) -> None:
+    """Write one bucket's block table as ONE parquet file with ONE ROW PER
+    ROW GROUP — every (block, column) cell becomes an independently-skippable
+    chunk, the moral equivalent of the reference's per-column-chunk reads
+    (ParquetFileReader.java:709-719): a scan that needs only `lang` never
+    touches the row groups holding `html` blobs. Parquet statistics are kept
+    only for the routing columns (col, block_id); blob columns carry none.
+
+    Idempotent under retry/speculation: content is deterministic and the file
+    lands via write-to-temp + atomic rename (posix) or a direct last-writer-
+    wins put (object stores); stray files from older layouts are removed."""
+    import pyarrow.parquet as pq
+
+    tbl = tbl.drop_columns(["bucket"])  # the bucket=K directory carries it
+    final_name = "part-00000.parquet"
+    kw = dict(compression="none", write_statistics=["col", "block_id"])
+    if is_remote_path(blocks_path):
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(f"{blocks_path}/bucket={bucket}")
+        fs.create_dir(root, recursive=True)
+        with pq.ParquetWriter(f"{root}/{final_name}", tbl.schema, filesystem=fs, **kw) as w:
+            w.write_table(tbl, row_group_size=1)
+        return
+    import glob
+    import os
+
+    d = f"{_local_path(blocks_path)}/bucket={bucket}"
+    os.makedirs(d, exist_ok=True)
+    tmp = f"{d}/.{final_name}.inprogress"
+    with pq.ParquetWriter(tmp, tbl.schema, **kw) as w:
+        w.write_table(tbl, row_group_size=1)
+    for stale in glob.glob(f"{d}/*.parquet"):
+        if os.path.basename(stale) != final_name:
+            os.remove(stale)  # files from an interrupted older-layout run
+    os.replace(tmp, f"{d}/{final_name}")
+
+
+def _lineage_row(anchor: str, bucket: int, tbl: pa.Table) -> dict:
+    """Per-bucket lineage record computed from the block table the task just
+    wrote (formulas mirror the previous Spark aggregation so content_sha
+    stays comparable across resumed/uninterrupted runs)."""
+    import hashlib
+
+    cols = tbl.column("col").to_pylist()
+    bids = tbl.column("block_id").to_pylist()
+    ns = tbl.column("n").to_pylist()
+    codecs = tbl.column("codec").to_pylist()
+    shas = tbl.column("sha256").to_pylist()
+    parts = sorted(f"{c}:{b}:{s}" for c, b, s in zip(cols, bids, shas))
+    return {
+        "bucket": bucket,
+        "n_rows": sum(n for c, n in zip(cols, ns) if c == anchor),
+        "n_blocks": len({b for b in bids if b >= 0}),
+        "raw_bytes": int(sum(tbl.column("raw_bytes").to_pylist())),
+        "enc_bytes": int(sum(tbl.column("enc_bytes").to_pylist())),
+        "codec_json": json.dumps(
+            [{"col": c, "codec": k} for c, k in sorted(set(zip(cols, codecs)))],
+            separators=(",", ":"),
+        ),
+        "content_sha": hashlib.sha256(",".join(parts).encode()).hexdigest(),
+    }
+
+
 def _encode_partition(
     logical: dict[str, str],
     plan: dict[str, str],
@@ -298,6 +374,7 @@ def _encode_partition(
     order_by: list[str],
     gdicts: dict[str, np.ndarray] | None,
     forced: frozenset[str],
+    blocks_path: str,
     it: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
     """mapInArrow partition encoder: hash-partitioning on _bucket keeps every
@@ -306,18 +383,26 @@ def _encode_partition(
     STREAMS one bucket at a time, never materializing the whole partition
     (round 1 held list(it): GBs of html per task at corpus scale). Grouping
     in Arrow beats Spark's grouped-map path, which adds a per-group Arrow
-    conversion — measured ~6s overhead on a no-op at 0.6 GB."""
+    conversion — measured ~6s overhead on a no-op at 0.6 GB.
+
+    Each bucket's parquet file is written HERE (single-pass encode: no
+    shuffle of encoded blobs into a Spark write stage, no re-read to build
+    lineage); the task yields only the tiny per-bucket lineage rows."""
+    anchor = next(iter(logical))
     cur_bucket: int | None = None
     buf: list[pa.RecordBatch] = []
 
-    def flush() -> pa.Table | None:
+    def flush() -> dict | None:
         if cur_bucket is None or not buf:
             return None
-        return _encode_group(
+        tbl = _encode_group(
             logical, plan, block_size, order_by, cur_bucket,
             pa.Table.from_batches(buf), gdicts, forced,
         )
+        _write_bucket_file(blocks_path, cur_bucket, tbl)
+        return _lineage_row(anchor, cur_bucket, tbl)
 
+    lineage: list[dict] = []
     for batch in it:
         if batch.num_rows == 0:
             continue
@@ -328,15 +413,21 @@ def _encode_partition(
             s, e = int(bounds[k]), int(bounds[k + 1])
             bucket = int(b[s])
             if bucket != cur_bucket:
-                out = flush()
-                if out is not None:
-                    yield from out.to_batches()
+                row = flush()
+                if row is not None:
+                    lineage.append(row)
                 buf = []
                 cur_bucket = bucket
             buf.append(batch.slice(s, e - s))
-    out = flush()
-    if out is not None:
-        yield from out.to_batches()
+    row = flush()
+    if row is not None:
+        lineage.append(row)
+    if lineage:
+        yield pa.RecordBatch.from_pylist(lineage, schema=pa.schema([
+            ("bucket", pa.int32()), ("n_rows", pa.int64()), ("n_blocks", pa.int64()),
+            ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+            ("codec_json", pa.string()), ("content_sha", pa.string()),
+        ]))
 
 
 def _encode_group(
@@ -761,6 +852,11 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     )
     meta.write.mode("overwrite").parquet(meta_path)
 
+    if not is_remote_path(blocks_path):
+        import os
+
+        os.makedirs(_local_path(blocks_path), exist_ok=True)  # empty input => empty table
+
     done = completed_buckets(spark, out_dir, cfg.snapshot_id)
     if cfg.salt > 1 and cfg.salt_col:
         bucket_expr = F.pmod(
@@ -773,53 +869,29 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     if done:
         bucketed = bucketed.filter(~F.col("_bucket").isin(*[int(b) for b in done]))
 
-    blocks = (
+    # ONE job end to end: the encode tasks write their bucket parquet files
+    # directly (atomic rename, deterministic content => idempotent under
+    # retry/speculation) and return only per-bucket lineage rows, which the
+    # driver appends to the checkpoint table. No Spark write stage touches an
+    # encoded blob and no second pass re-reads the blocks for lineage.
+    lineage_df = (
         bucketed.repartition(cfg.buckets, "_bucket")
         .sortWithinPartitions("_bucket")
         .mapInArrow(
-            partial(_encode_partition, logical, plan, cfg.block_size, order_by, gdicts, forced),
-            BLOCKS_SCHEMA,
+            partial(_encode_partition, logical, plan, cfg.block_size, order_by,
+                    gdicts, forced, blocks_path),
+            LINEAGE_TASK_SCHEMA,
         )
     )
-
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    # block payloads are already codec-compressed — snappy on top is wasted CPU
-    blocks.write.mode("overwrite").option("compression", "none").partitionBy("bucket").parquet(blocks_path)
-
-    # lineage rows aggregated from what actually landed (exactly-once:
-    # bucket dirs are atomic last-writer-wins, lineage appended after)
-    written = spark.read.parquet(blocks_path)
-    if done:
-        written = written.filter(~F.col("bucket").isin(*[int(b) for b in done]))
-    anchor = next(iter(logical))
-    lineage = (
-        written.groupBy("bucket")
-        .agg(
-            F.sum(F.when(F.col("col") == anchor, F.col("n")).otherwise(0)).alias("n_rows"),
-            # bdict dictionary rows live at block_id = -1 and are not blocks
-            F.countDistinct(F.when(F.col("block_id") >= 0, F.col("block_id"))).alias("n_blocks"),
-            F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("enc_bytes").alias("enc_bytes"),
-            F.to_json(F.sort_array(F.collect_set(F.struct("col", "codec")))).alias("codec_json"),
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    F.sort_array(F.collect_list(F.concat_ws(":", "col", "block_id", "sha256"))),
-                ),
-                256,
-            ).alias("content_sha"),
-        )
-        .withColumn("snapshot_id", F.lit(cfg.snapshot_id))
-        .withColumn("status", F.lit("done"))
-    )
-    # one job: collect the (<= buckets) lineage rows, then write them from
-    # the driver — avoids a second full aggregation pass just to learn which
-    # buckets landed
-    lineage_rows = lineage.collect()
+    lineage_rows = [
+        {**r.asDict(), "snapshot_id": cfg.snapshot_id, "status": "done"}
+        for r in lineage_df.collect()
+    ]
     if lineage_rows:
-        spark.createDataFrame(lineage_rows, lineage.schema).coalesce(1).write.mode(
-            "append"
-        ).parquet(lineage_path)
+        spark.createDataFrame(
+            lineage_rows,
+            LINEAGE_TASK_SCHEMA + ", snapshot_id string, status string",
+        ).coalesce(1).write.mode("append").parquet(lineage_path)
 
     new_buckets = {r["bucket"] for r in lineage_rows}
     return EncodeResult(blocks_path, lineage_path, plan, len(new_buckets), len(done))

@@ -633,6 +633,34 @@ FROM documents WHERE lang = 'en' GROUP BY source
 """
 
 
+def eng_datasource_prune(spark, sf_dir):
+    """Column-pruned read through the data source: the ``columns`` load
+    option restricts the schema and the PHYSICAL read — the text blob's row
+    groups are never fetched (chunk-selective reads,
+    ParquetFileReader.java:709-719), while the pushed filter still prunes
+    blocks via zone maps."""
+    from .sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    df = (
+        spark.read.format(FORMAT_NAME)
+        .option("columns", "lang,n_chars")
+        .load(out)
+    )
+    return (
+        df.filter(F.col("n_chars") >= 200)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+ENG_DATASOURCE_PRUNE_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents WHERE n_chars >= 200 GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------------
 # 3. training-data pipeline operators
 
@@ -1354,6 +1382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_typed_scan": eng_typed_scan,
     "eng_decimal_scan": eng_decimal_scan,
     "eng_datasource_scan": eng_datasource_scan,
+    "eng_datasource_prune": eng_datasource_prune,
     "ops_dedup_exact": ops_dedup_exact,
     "ops_token_count": ops_token_count,
     "ops_quality_score": ops_quality_score,
@@ -1398,6 +1427,7 @@ ORACLES: dict[str, str] = {
     "eng_typed_scan": ENG_TYPED_SQL,
     "eng_decimal_scan": ENG_DECIMAL_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
+    "eng_datasource_prune": ENG_DATASOURCE_PRUNE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
     "ops_token_count": OPS_TOKENS_SQL,
     "ops_quality_score": OPS_QUALITY_SQL,

@@ -16,9 +16,15 @@ read exactly as they do in ``scan()`` — a ``.filter("lang = 'en'")`` on the
 DataFrame prunes encoded blocks before their blobs are fetched. One input
 partition per bucket file (same parallelism story as ``scan()``).
 
-``scan()`` remains the power path (column pruning, compound predicates with
-explicit control); this wrapper trades that for stock ``spark.read``
-ergonomics — column pruning happens in Spark after decode.
+Column pruning: pass ``.option("columns", "lang,n_chars")`` to restrict the
+schema AND the physical read — unrequested columns' row groups are never
+fetched (the writer lays out one block-row per row group, so each (block,
+column) cell is an independently skippable chunk, the reference's
+``readNextRowGroup(ColumnChunkMetaData[])`` analog,
+ParquetFileReader.java:709-719). Until Spark exposes required-column
+pushdown to Python data sources, a bare ``.select()`` without the option
+still decodes every column; ``scan()`` always prunes from its ``columns=``
+argument.
 """
 
 from __future__ import annotations
@@ -162,13 +168,31 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
         return None  # unresolvable session timezone: let Spark evaluate it
 
 
+def _columns_option(options, logical: dict[str, str]) -> list[str]:
+    """Parse the ``columns`` load option (comma-separated) — the column
+    pruning channel until Spark exposes required-column pushdown to Python
+    data sources. Unknown names fail at planning, not in an executor."""
+    raw = options.get("columns")
+    if not raw:
+        return list(logical)
+    cols = [c.strip() for c in str(raw).split(",") if c.strip()]
+    unknown = [c for c in cols if c not in logical]
+    if unknown:
+        raise ValueError(
+            f"columns option names unknown column(s) {unknown}; "
+            f"table has {list(logical)}"
+        )
+    return cols
+
+
 class EncodedTableReader(DataSourceReader):
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, columns: list[str] | None = None):
         from ..operators.encode import gdicts_from_json
 
         self.out_dir = out_dir
         meta = _read_meta_local(out_dir)
         self.logical: dict[str, str] = meta["logical"]
+        self.columns = list(columns) if columns is not None else list(self.logical)
         self.gdicts = gdicts_from_json(meta.get("gdicts", {}), self.logical)
         self.preds: list = []
 
@@ -193,8 +217,12 @@ class EncodedTableReader(DataSourceReader):
 
         if partition.value is None:
             return
+        # column pruning reaches the physical layer: _decode_file skips the
+        # row groups of unrequested columns entirely (one block-row per row
+        # group + col statistics), so selecting a narrow column never reads
+        # the html/text blobs
         yield from _decode_file(
-            partition.value, self.logical, list(self.logical), self.preds, self.gdicts
+            partition.value, self.logical, self.columns, self.preds, self.gdicts
         )
 
 
@@ -209,12 +237,14 @@ class EncodedTableDataSource(DataSource):
         from ..functions.arrow import spark_type
 
         meta = _read_meta_local(self.options["path"])
-        return ", ".join(
-            f"`{c}` {spark_type(lt)}" for c, lt in meta["logical"].items()
-        )
+        cols = _columns_option(self.options, meta["logical"])
+        return ", ".join(f"`{c}` {spark_type(meta['logical'][c])}" for c in cols)
 
     def reader(self, schema) -> EncodedTableReader:
-        return EncodedTableReader(self.options["path"])
+        meta = _read_meta_local(self.options["path"])
+        return EncodedTableReader(
+            self.options["path"], _columns_option(self.options, meta["logical"])
+        )
 
 
 def register(spark) -> None:

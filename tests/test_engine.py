@@ -528,3 +528,60 @@ def test_corrupt_file_missing_column_row_raises(spark, tmp_path):
     pq.write_table(tbl.filter(keep), path)
     with pytest.raises(Exception, match="corrupt encoded file"):
         scan(spark, out).count()
+
+
+def test_scan_column_pruning_skips_blob_row_groups(spark, tmp_path, monkeypatch):
+    """The writer emits one block-row per row group with `col` statistics, so
+    a scan needing only a narrow column must never READ the row groups that
+    hold the blob columns (chunk-selective reads — the reference's
+    readNextRowGroup(ColumnChunkMetaData[]) analog)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_main_spark.operators.decode import _decode_file
+    from parquet_main_spark.operators.encode import gdicts_from_json, read_meta
+
+    df = webpages(spark, 800, partitions=4)
+    out = str(tmp_path / "colprune")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=2, block_size=128,
+                                         snapshot_id="t1"))
+    meta = read_meta(spark, out)
+    path = sorted(glob.glob(f"{out}/blocks/bucket=*/*.parquet"))[0]
+
+    md = pq.ParquetFile(path).metadata
+    col_idx = md.schema.to_arrow_schema().get_field_index("col")
+    rg_col = {rg: md.row_group(rg).column(col_idx).statistics.min
+              for rg in range(md.num_row_groups)}
+    assert set(rg_col.values()) >= {"html", "text", "lang"}  # layout sanity
+
+    read_rgs: list[int] = []
+    orig = pq.ParquetFile.read_row_group
+
+    def spy(self, rg, *a, **kw):
+        read_rgs.append(rg)
+        return orig(self, rg, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_group", spy)
+    gd = gdicts_from_json(meta.get("gdicts", {}), meta["logical"])
+    rows = sum(b.num_rows for b in _decode_file(path, meta["logical"], ["lang"], [], gd))
+    assert rows > 0
+    touched = {rg_col[rg] for rg in read_rgs}
+    assert "html" not in touched and "text" not in touched, touched
+    assert touched <= {"lang"}
+
+
+def test_datasource_columns_option(spark, encoded):
+    """.option('columns', ...) restricts the data source schema and the
+    physical read; unknown names fail at planning."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    out, df, _ = encoded
+    got = (spark.read.format(FORMAT_NAME).option("columns", "lang,url").load(out))
+    assert got.columns == ["lang", "url"]
+    assert got.count() == df.count()
+    assert (got.filter("lang = 'en'").count()
+            == df.filter("lang = 'en'").count())
+    with pytest.raises(Exception, match="unknown column"):
+        spark.read.format(FORMAT_NAME).option("columns", "nope").load(out).count()
