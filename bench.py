@@ -107,6 +107,9 @@ def main() -> None:
     for qname, kw in (
         ("insitu_dict_filter", dict(columns=["url", "lang"], predicate=Predicate("lang", "=", "en"))),
         ("zonemap_url_range", dict(columns=["url"], predicate=Predicate("url", ">=", "https://host99"))),
+        # physical column pruning: the html/text blob row groups are never
+        # read (one block-row per row group + col stats)
+        ("narrow_scan_lang", dict(columns=["lang"])),
     ):
         best = None
         for _ in range(2):

@@ -20,7 +20,7 @@ All kernels are vectorized numpy/Arrow inside pandas UDFs — never per-row
 Python in the hot path.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 
 def __getattr__(name):
@@ -29,7 +29,7 @@ def __getattr__(name):
         from .operators import encode as _e
 
         return getattr(_e, name)
-    if name in ("Predicate", "scan", "pruning_report"):
+    if name in ("Predicate", "And", "Or", "Not", "scan", "pruning_report"):
         from .operators import decode as _d
 
         return getattr(_d, name)

@@ -165,6 +165,14 @@ def prune_filter(pred: Predicate, lt: str):
             cond = c if cond is None else (cond | c)
     elif pred.op == "!=":
         cond = ~((lo == F.lit(enc(v))) & (hi == F.lit(enc(v))))
+    elif pred.op == "startswith":
+        if lt != "string":
+            raise ValueError("startswith predicates need a string column")
+        # any v with prefix p satisfies v >= p; and the smallest such v is p
+        # itself, so the block range reaches it iff lo's first len(p) chars
+        # are <= p. Truncated stats stay conservative: a truncated min is
+        # still a lower bound, the max is truncate-and-incremented.
+        cond = (hi >= F.lit(v)) & (F.substring(lo, 1, len(v)) <= F.lit(v))
     else:
         raise ValueError(f"unknown predicate op {pred.op!r}")
     return F.coalesce(cond, F.col("null_count") < F.col("n"))
@@ -195,6 +203,10 @@ def _mask_from_ids(ids: np.ndarray, sorted_dict: np.ndarray, pred: Predicate) ->
     if pred.op == ">=":
         a, _ = dict_codec.translate_range(sorted_dict, pred.value, None)
         return ids >= a
+    if pred.op == "startswith":
+        # evaluated once on the tiny sorted dictionary, then an id lookup
+        dmask = np.array([s.startswith(pred.value) for s in sorted_dict], dtype=bool)
+        return dmask[ids] if len(sorted_dict) else np.zeros(len(ids), dtype=bool)
     raise ValueError(pred.op)
 
 
@@ -208,6 +220,11 @@ def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
         return np.isin(vals, want)
     if pred.op == "between":
         return (vals >= pred.value[0]) & (vals <= pred.value[1])
+    if pred.op == "startswith":
+        import pyarrow.compute as _pc
+
+        arr = pa.array(vals, type=pa.string())
+        return _pc.starts_with(arr, pred.value).to_numpy(zero_copy_only=False)
     return _OPS[pred.op](vals, pred.value)
 
 
@@ -267,6 +284,11 @@ def _block_survives(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) -
             None if lo is None else lo == enc(v), None if hi is None else hi == enc(v)
         )
         cond = None if eq is None else not eq
+    elif op == "startswith":
+        cond = _three_valued_and(
+            None if hi is None else hi >= v,
+            None if lo is None else lo[: len(v)] <= v,
+        )
     else:
         raise ValueError(f"unknown predicate op {pred.op!r}")
     if cond is None:
@@ -280,33 +302,54 @@ _DATA_COLS = ["block_id", "col", "codec", "params", "n", "null_count",
               "validity", "data", "dict"]
 
 
-def _surviving_blocks(stats: pa.Table, preds: list[Predicate], logical: dict[str, str]):
-    """Set of block_ids passing ALL predicates' zone maps (None = no
-    predicates -> read everything)."""
-    if not preds:
+def _surviving_blocks(stats: pa.Table, expr, logical: dict[str, str]):
+    """Set of block_ids the zone maps cannot rule out for ``expr``
+    (None = cannot prune anything -> read everything). Conjunctions
+    intersect children's sets, disjunctions union them, negations keep all
+    blocks (refuting may-contain would need definitely-all-match analysis —
+    the row mask stays exact either way)."""
+    if expr is None:
         return None
-    cols = stats.column("col").to_pylist()
-    bids = stats.column("block_id").to_pylist()
-    out = None
-    for pred in preds:
-        lt = logical[pred.col]
-        lo_name, hi_name = _stat_cols(lt)
-        los = stats.column(lo_name).to_pylist()
-        his = stats.column(hi_name).to_pylist()
-        ncs = stats.column("null_count").to_pylist()
-        ns = stats.column("n").to_pylist()
-        keep = {
-            bids[i]
-            for i in range(len(cols))
-            if cols[i] == pred.col
-            and _block_survives(pred, lt, los[i], his[i], ncs[i], ns[i])
-        }
-        out = keep if out is None else (out & keep)
-    return out
+    data = {name: stats.column(name).to_pylist()
+            for name in ("col", "block_id", "n", "null_count",
+                         "min_int", "max_int", "min_num", "max_num",
+                         "min_str", "max_str")}
+
+    def walk(e):
+        if isinstance(e, Predicate):
+            lt = logical[e.col]
+            lo_name, hi_name = _stat_cols(lt)
+            return {
+                data["block_id"][i]
+                for i in range(len(data["col"]))
+                if data["col"][i] == e.col
+                and _block_survives(e, lt, data[lo_name][i], data[hi_name][i],
+                                    data["null_count"][i], data["n"][i])
+            }
+        if isinstance(e, And):
+            out = None
+            for c in e.children:
+                s = walk(c)
+                if s is not None:
+                    out = s if out is None else (out & s)
+            return out
+        if isinstance(e, Or):
+            out = set()
+            for c in e.children:
+                s = walk(c)
+                if s is None:
+                    return None  # one unprunable child => keep everything
+                out |= s
+            return out
+        if isinstance(e, Not):
+            return None
+        raise TypeError(f"not a predicate expression: {e!r}")
+
+    return walk(expr)
 
 
 def _decode_file(path: str, logical: dict[str, str], columns: list[str],
-                 preds: list[Predicate], gdicts: dict):
+                 expr, gdicts: dict):
     """Decode one bucket file: zone-map prune from a stats-only columnar read
     (block blobs are never fetched for pruned blocks — the lazy-page analog,
     CompressedDataPageV1.java:30-45), then STREAM the surviving blocks row
@@ -314,13 +357,14 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
     a row-group boundary, never the whole file."""
     import pyarrow.parquet as pq
 
+    expr = _as_expr(expr)
     f = pq.ParquetFile(path)
-    needed = list(dict.fromkeys(list(columns) + [p.col for p in preds]))
+    needed = list(dict.fromkeys(list(columns) + [p.col for p in _expr_leaves(expr)]))
     surviving = None
-    if preds:
+    if expr is not None:
         stats = f.read(columns=_STATS_COLS)
-        surviving = _surviving_blocks(stats, preds, logical)
-        if not surviving:
+        surviving = _surviving_blocks(stats, expr, logical)
+        if surviving is not None and not surviving:
             return
     md = f.metadata
     arrow_schema = md.schema.to_arrow_schema()
@@ -383,7 +427,7 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
         for bid in [b for b, c in pending_rows.items() if c >= len(needed)]:
             group = pa.concat_tables(pending.pop(bid))
             del pending_rows[bid]
-            out = _decode_group(logical, columns, preds, False, None, group, dicts)
+            out = _decode_group(logical, columns, expr, False, None, group, dicts)
             if out.num_rows:
                 yield from out.to_batches()
     for bid in sorted(pending):  # defensive: flush any leftovers
@@ -398,25 +442,26 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
                 f"corrupt encoded file {path}: block {bid} has no row for "
                 f"column(s) {missing} (present: {sorted(have)})"
             )
-        out = _decode_group(logical, columns, preds, False, None, group, dicts)
+        out = _decode_group(logical, columns, expr, False, None, group, dicts)
         if out.num_rows:
             yield from out.to_batches()
 
 
 def _decode_tasks(logical: dict[str, str], columns: list[str],
-                  preds: list[Predicate], gdicts: dict, it):
+                  expr, gdicts: dict, it):
     """mapInArrow over (path) task rows — each task decodes whole bucket
     files, so (block, column) groups are never split across tasks and no
     block blob ever crosses a shuffle."""
     for batch in it:
         for path in batch.column("path").to_pylist():
-            yield from _decode_file(path, logical, columns, preds, gdicts)
+            yield from _decode_file(path, logical, columns, expr, gdicts)
 
 
-def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) -> np.ndarray:
-    """Full-length row mask (nulls never match) for one predicate over one
-    block — the record-skipping analog, evaluated in-situ on dictionary ids
-    where the block is dict/gdict-coded."""
+def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate):
+    """Three-valued row masks ``(true, false)`` for one predicate over one
+    block (rows in neither are NULL/unknown — Kleene logic, so Not/Or compose
+    with exact SQL semantics). Evaluated in-situ on dictionary ids where the
+    block is dict/gdict-coded — the record-skipping analog."""
     i = by_col[pred.col]
     row = {name: tbl.column(name)[i].as_py() for name in
            ("codec", "params", "validity", "data", "dict")}
@@ -424,12 +469,13 @@ def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) 
     validity = unpack_validity(row["validity"], n)
     if pred.op in ("isnull", "notnull"):
         # answered from the validity bitmap alone — the payload is never
-        # decoded (null-aware skip, the skipWithCount analog)
+        # decoded (null-aware skip, the skipWithCount analog); always known
         if validity is None:
             full = np.ones(n, dtype=bool)
         else:
             full = validity.copy()
-        return ~full if pred.op == "isnull" else full
+        t = ~full if pred.op == "isnull" else full
+        return t, ~t
     if row["codec"] == "dict":
         ids = dict_codec.decode_ids(row["data"])
         sorted_dict = dict_codec.load_dict(row["dict"])
@@ -445,16 +491,46 @@ def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate) 
             vals = vals.astype(object) if vals.dtype != object else vals
         dense_mask = _mask_from_values(vals, pred)
     if validity is None:
-        return dense_mask
-    mask = np.zeros(n, dtype=bool)
-    mask[validity] = dense_mask  # nulls never match
-    return mask
+        return dense_mask, ~dense_mask
+    t = np.zeros(n, dtype=bool)
+    t[validity] = dense_mask  # nulls match nothing...
+    f = np.zeros(n, dtype=bool)
+    f[validity] = ~dense_mask  # ...but they are UNKNOWN, not false
+    return t, f
+
+
+def _expr_mask(expr, logical, gdicts, by_col, tbl: pa.Table, n: int):
+    """Kleene-evaluate a predicate tree to ``(true, false)`` row masks:
+    and/or are the three-valued connectives, not swaps the pair. The caller
+    keeps rows where ``true`` holds (SQL WHERE drops unknowns)."""
+    if isinstance(expr, Predicate):
+        return _pred_mask(logical, gdicts, by_col, tbl, n, expr)
+    if isinstance(expr, And):
+        t = np.ones(n, dtype=bool)
+        f = np.zeros(n, dtype=bool)
+        for c in expr.children:
+            ct, cf = _expr_mask(c, logical, gdicts, by_col, tbl, n)
+            t &= ct
+            f |= cf
+        return t, f
+    if isinstance(expr, Or):
+        t = np.zeros(n, dtype=bool)
+        f = np.ones(n, dtype=bool)
+        for c in expr.children:
+            ct, cf = _expr_mask(c, logical, gdicts, by_col, tbl, n)
+            t |= ct
+            f &= cf
+        return t, f
+    if isinstance(expr, Not):
+        ct, cf = _expr_mask(expr.child, logical, gdicts, by_col, tbl, n)
+        return cf, ct
+    raise TypeError(f"not a predicate expression: {expr!r}")
 
 
 def _decode_group(
     logical: dict[str, str],
     columns: list[str],
-    preds: list[Predicate],
+    expr,
     count_only: bool,
     key,
     tbl: pa.Table,
@@ -464,11 +540,10 @@ def _decode_group(
     by_col = {tbl.column("col")[i].as_py(): i for i in range(tbl.num_rows)}
     n = tbl.column("n")[0].as_py()
 
-    mask = None  # conjunction of per-predicate row masks (reference composes
+    mask = None  # exact row mask from the predicate tree (reference composes
     # pageFilter AND rowFilter per scan, SkippingColumnReaderImpl.java:430-437)
-    for pred in preds:
-        m = _pred_mask(logical, gdicts, by_col, tbl, n, pred)
-        mask = m if mask is None else (mask & m)
+    if expr is not None:
+        mask, _ = _expr_mask(expr, logical, gdicts, by_col, tbl, n)
         if not mask.any():
             return pa.table({c: pa.array([], type=_pa_type(logical[c])) for c in columns})
 
@@ -513,12 +588,19 @@ def _pa_type(lt: str):
     return _arrow_pa_type(lt)
 
 
-def _as_pred_list(predicate: Predicate | list[Predicate] | None) -> list[Predicate]:
+def _as_expr(predicate):
+    """Normalize the public predicate argument: None, a single Predicate, a
+    LIST (= conjunction, the historical API), or an And/Or/Not tree."""
     if predicate is None:
-        return []
-    if isinstance(predicate, Predicate):
-        return [predicate]
-    return list(predicate)
+        return None
+    if isinstance(predicate, (list, tuple)):
+        exprs = list(predicate)
+        if not exprs:
+            return None
+        return exprs[0] if len(exprs) == 1 else And(exprs)
+    if isinstance(predicate, (Predicate, And, Or, Not)):
+        return predicate
+    raise TypeError(f"not a predicate expression: {predicate!r}")
 
 
 def _list_block_files(out_dir: str, spark: SparkSession | None = None) -> list[str]:
@@ -556,12 +638,16 @@ def scan(
     spark: SparkSession,
     out_dir: str,
     columns: list[str] | None = None,
-    predicate: Predicate | list[Predicate] | None = None,
+    predicate: "Predicate | And | Or | Not | list | None" = None,
 ) -> DataFrame:
     """Decode the encoded table back to rows, with block pruning + pushed
-    predicates (a list is a conjunction: zone-map conditions intersect, row
-    masks AND — the reference's pageFilter+rowFilter composition,
-    SkippingColumnReaderImpl.java:430-437). Row order is not defined.
+    predicates. ``predicate`` is a single Predicate, a list (= conjunction,
+    the historical API), or an arbitrary And/Or/Not tree (the reference's
+    filter surface is an arbitrary Predicate<Statistics<?>>,
+    SkippingColumnReaderImpl.java:430-437): zone-map survival intersects
+    conjunctions and unions disjunctions; row masks evaluate the tree with
+    Kleene three-valued logic so NULL semantics match SQL exactly. Row order
+    is not defined.
 
     Scale design: one task per bucket file, decoded in place with pyarrow —
     no Exchange ever touches a block blob (round 1 repartitioned every
@@ -576,7 +662,7 @@ def scan(
     from .encode import gdicts_from_json
 
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-    preds = _as_pred_list(predicate)
+    expr = _as_expr(predicate)
     if columns is None:
         columns = list(logical)
     files = _list_block_files(out_dir, spark)
@@ -585,32 +671,101 @@ def scan(
         return spark.createDataFrame([], out_schema)
     tasks = spark.createDataFrame([(p,) for p in files], "path string").repartition(len(files))
     return tasks.mapInArrow(
-        partial(_decode_tasks, logical, list(columns), preds, gdicts), out_schema
+        partial(_decode_tasks, logical, list(columns), expr, gdicts), out_schema
     )
 
 
-def pruning_report(spark: SparkSession, out_dir: str,
-                   predicate: Predicate | list[Predicate]) -> dict[str, int]:
+def _decode_tasks_multi(logical: dict[str, str], columns: list[str], expr,
+                        gdicts_list: list[dict], it):
+    """Multi-directory variant of _decode_tasks: each task row carries the
+    directory index so the right global dictionaries overlay the file's
+    bucket dictionaries."""
+    for batch in it:
+        paths = batch.column("path").to_pylist()
+        dirs = batch.column("dir_id").to_pylist()
+        for path, di in zip(paths, dirs):
+            yield from _decode_file(path, logical, columns, expr, gdicts_list[di])
+
+
+def scan_many(
+    spark: SparkSession,
+    out_dirs: list[str],
+    columns: list[str] | None = None,
+    predicate: "Predicate | And | Or | Not | list | None" = None,
+) -> DataFrame:
+    """Scan MANY encoded directories as one table in ONE job: a single
+    file-task list spanning every directory feeds one mapInArrow, so a
+    thousand micro-batch directories plan one stage with one task per bucket
+    file (round 2's scan_batches unioned per-directory scans in a Python
+    loop — thousands-node plans and a driver planning stall). All
+    directories must share the logical schema; per-directory global
+    dictionaries are carried per task row."""
+    if not out_dirs:
+        raise ValueError("scan_many needs at least one directory")
+    from .encode import gdicts_from_json
+
+    metas = [read_meta(spark, d) for d in out_dirs]
+    logical: dict[str, str] = metas[0]["logical"]
+    for d, m in zip(out_dirs[1:], metas[1:]):
+        if m["logical"] != logical:
+            raise ValueError(
+                f"schema mismatch: {d} has {m['logical']}, "
+                f"{out_dirs[0]} has {logical}"
+            )
+    gdicts_list = [gdicts_from_json(m.get("gdicts", {}), logical) for m in metas]
+    expr = _as_expr(predicate)
+    if columns is None:
+        columns = list(logical)
+    files = [
+        (p, i) for i, d in enumerate(out_dirs) for p in _list_block_files(d, spark)
+    ]
+    out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in columns)
+    if not files:
+        return spark.createDataFrame([], out_schema)
+    tasks = spark.createDataFrame(files, "path string, dir_id int").repartition(len(files))
+    return tasks.mapInArrow(
+        partial(_decode_tasks_multi, logical, list(columns), expr, gdicts_list),
+        out_schema,
+    )
+
+
+def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, int]:
     """How many blocks the zone map eliminated (page-skip observability,
-    the reference's skipped-page accounting analog). A list reports the
-    conjunction (a block survives only if every predicate retains it)."""
+    the reference's skipped-page accounting analog). Accepts the same
+    predicate forms as scan(): a list reports the conjunction; Or unions the
+    children's surviving block sets; Not conservatively keeps every block
+    (the scan's row mask stays exact)."""
     meta = read_meta(spark, out_dir)
-    preds = _as_pred_list(predicate)
-    if not preds:
+    expr = _as_expr(predicate)
+    if expr is None:
         raise ValueError("pruning_report needs at least one predicate")
-    anchor = preds[0].col
     blocks = read_blocks(spark, out_dir).filter(F.col("block_id") >= 0)
-    total = blocks.filter(F.col("col") == anchor).count()
-    surviving = None
-    for pred in preds:
-        lt = meta["logical"][pred.col]
-        surv = (
-            blocks.filter(F.col("col") == pred.col)
-            .filter(prune_filter(pred, lt))
-            .select("bucket", "block_id")
-        )
-        surviving = surv if surviving is None else surviving.join(
-            surv, ["bucket", "block_id"], "left_semi"
-        )
-    kept = surviving.distinct().count()
+    universe = blocks.select("bucket", "block_id").distinct()
+
+    def surv(e) -> DataFrame:
+        if isinstance(e, Predicate):
+            lt = meta["logical"][e.col]
+            return (
+                blocks.filter(F.col("col") == e.col)
+                .filter(prune_filter(e, lt))
+                .select("bucket", "block_id")
+            )
+        if isinstance(e, And):
+            out = None
+            for c in e.children:
+                s = surv(c)
+                out = s if out is None else out.join(s, ["bucket", "block_id"], "left_semi")
+            return universe if out is None else out
+        if isinstance(e, Or):
+            out = None
+            for c in e.children:
+                s = surv(c)
+                out = s if out is None else out.unionByName(s)
+            return universe if out is None else out.distinct()
+        if isinstance(e, Not):
+            return universe
+        raise TypeError(f"not a predicate expression: {e!r}")
+
+    total = universe.count()
+    kept = surv(expr).distinct().count()
     return {"total_blocks": total, "kept_blocks": kept, "pruned_blocks": total - kept}

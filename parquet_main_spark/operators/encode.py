@@ -95,11 +95,22 @@ class EncodeResult:
 # ---------------------------------------------------------------- stats pass
 
 def _stats_fn(logical: dict[str, str], sorted_cols: frozenset[str],
+              chosen: frozenset[int] | None,
               it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    # first Arrow batch per partition only: a deterministic prefix sample —
-    # the iterator is abandoned afterwards so the rest of the partition is
-    # never decoded (cheap stats pass; the reference pre-scans the whole
-    # input, ParquetWriterHelper.java:60-79 — sampling is our scale move)
+    # stratified sample: only the `chosen` partitions contribute (evenly
+    # spread over the partition index space, so a time-partitioned corpus is
+    # sampled across its whole span, not just the oldest slice); within a
+    # chosen partition the first ~8192 rows are taken and the iterator is
+    # abandoned so the rest is never decoded (cheap stats pass; the
+    # reference pre-scans the whole input, ParquetWriterHelper.java:60-79 —
+    # sampling is our scale move). Non-chosen tasks return without touching
+    # their input.
+    if chosen is not None:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.partitionId() not in chosen:
+            return
     batches = []
     for batch in it:
         batches.append(batch)
@@ -152,16 +163,26 @@ def sample_plan(df: DataFrame, cfg: EncodeConfig) -> tuple[dict[str, str], dict[
     the selector. Returns (plan, merged sample stats per column) — the stats
     gate downstream decisions (e.g. global-dict candidacy) without rescanning."""
     logical = logical_types(df.schema)
-    # coalesce (no shuffle) the stats pass to a CONSTANT small task count:
-    # the sample is fixed-size (first ~8192 rows per task), so more tasks add
-    # no information — they add per-task overhead, and the per-task work
+    # a CONSTANT number of partitions contributes to the sample: more samples
+    # add no information, they add per-task overhead, and the per-task work
     # (fsst ratio measurement) is memory-bandwidth-bound, so wide fan-out
     # thrashes the shared bus (measured: 32 concurrent stats tasks 59s vs
-    # 8 tasks 8.4s on the same input at 32 pinned cores)
-    width = min(df.rdd.getNumPartitions(), 8)
+    # 8 tasks 8.4s on the same input at 32 pinned cores). The contributing
+    # partitions are EVENLY SPREAD over the partition index space with a
+    # seeded offset (round 2 coalesced the head: on a time-partitioned crawl
+    # the sample saw only the oldest slice and the selector could mispick);
+    # non-chosen tasks no-op without consuming their input.
+    nparts = df.rdd.getNumPartitions()
     sorted_cols = frozenset(cfg.order_by or [cfg.bucket_key])
-    stats_df = df.coalesce(width).mapInArrow(
-        partial(_stats_fn, logical, sorted_cols), STATS_SCHEMA
+    chosen: frozenset[int] | None = None
+    if nparts > 8:
+        rng = np.random.default_rng(0xC0FFEE)  # fixed seed: plans stay
+        # deterministic for a given partition count (resume reuses the
+        # persisted plan regardless)
+        offset = int(rng.integers(0, nparts))
+        chosen = frozenset((offset + (i * nparts) // 8) % nparts for i in range(8))
+    stats_df = df.mapInArrow(
+        partial(_stats_fn, logical, sorted_cols, chosen), STATS_SCHEMA
     )
     by_col: dict[str, list[dict]] = {}
     for row in stats_df.collect():

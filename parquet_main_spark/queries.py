@@ -456,6 +456,33 @@ GROUP BY l_linenumber
 """
 
 
+def eng_or_filter(spark, sf_dir):
+    """Disjunctive predicate tree pushed into the scan: zone-map survival is
+    the UNION of the children's surviving block sets, the row mask is the
+    exact Kleene OR (the reference's arbitrary Predicate<Statistics<?>>
+    surface, SkippingColumnReaderImpl.java:430-437; round-2 scans only took
+    conjunctions)."""
+    from .operators.decode import Or, Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    rows = scan(
+        spark, out, columns=["doc_id", "lang", "n_chars"],
+        predicate=Or([
+            Predicate("lang", "=", "de"),
+            Predicate("n_chars", ">", 500),
+        ]),
+    )
+    return rows.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.max("n_chars").alias("max_chars")
+    )
+
+
+ENG_OR_SQL = """
+SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars
+FROM documents WHERE lang = 'de' OR n_chars > 500 GROUP BY lang
+"""
+
+
 def _codec_forced_docs(spark, sf_dir) -> str:
     """One encoded copy of documents with four codecs PINNED via
     plan_override (strict: no fallback) — the driver-gated proof that each
@@ -1179,27 +1206,58 @@ WHERE s.quality_score >= 0.6 AND s.lang IN ('en', 'de')
 """
 
 
-def _ivf_assign(spark, sf_dir) -> DataFrame:
-    """IVF coarse quantizer: centroids are a deterministic subset of the
-    vectors (vec_id % 50 == 0 — a stand-in for a trained codebook; training
-    is out of scope, assignment mechanics are the point). Each vector is
-    assigned to its max-cosine centroid via ONE mapInArrow numpy matmul per
-    batch against the broadcast centroid matrix — no row explosion, no
-    shuffle (the same scale shape as _lsh_buckets)."""
+#: IVF coarse-codebook size — FIXED in N (the reference's dictionary page is
+#: likewise a bounded structure read ahead of data,
+#: ParquetFileReader.java:819-859); round 2 used vec_id % 50, whose N/50
+#: codebook collect would be ~10 GB pickled per task closure at 10^9 vectors
+IVF_K = 16
+#: Knuth multiplicative hash — computable identically in Spark and DuckDB
+#: BIGINT arithmetic (no overflow below ~3.5e9 vec_ids; xxhash64 differs
+#: between engines, so the oracle could not reproduce it)
+_IVF_H_MUL = 2654435761
+_IVF_H_MOD = 4294967296
+
+
+def _ivf_codebook(spark, sf_dir):
+    """Deterministic fixed-K codebook: the K vectors with the smallest
+    multiplicative hash of vec_id (a stand-in for k-means||; training is out
+    of scope, BOUNDED codebook mechanics are the point). orderBy+limit plans
+    as TakeOrderedAndProject — a per-partition top-K then a K-row driver
+    merge, never a full collect. Returns (cids, cmat, cnorm) numpy arrays,
+    cids ascending."""
     import numpy as np
-    import pyarrow as pa
 
     e = _t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % 50 == 0).select("vec_id", "embedding").collect()
+    h = (F.col("vec_id") * F.lit(_IVF_H_MUL)) % F.lit(_IVF_H_MOD)
+    cents = (
+        e.select("vec_id", "embedding")
+        .orderBy(h.asc(), F.col("vec_id").asc())
+        .limit(IVF_K)
+        .collect()
+    )
     cids_l = np.array([r["vec_id"] for r in cents], dtype=np.int64)
     order = np.argsort(cids_l)
     cids = cids_l[order]
     cmat = np.array([cents[i]["embedding"] for i in order], dtype=np.float64)
     cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+    return cids, cmat, cnorm
+
+
+def _ivf_assign(spark, sf_dir) -> DataFrame:
+    """IVF coarse quantizer: each vector is assigned to its max-cosine
+    centroid via ONE mapInArrow numpy matmul per batch against the
+    sc.broadcast codebook — no row explosion, no shuffle (the same scale
+    shape as _lsh_buckets), and the codebook ships once per executor
+    instead of being re-pickled into every task closure."""
+    import pyarrow as pa
+
+    e = _t(spark, sf_dir, "embeddings")
+    bc = spark.sparkContext.broadcast(_ivf_codebook(spark, sf_dir))
 
     def assign(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import numpy as _np
 
+        cids, cmat, cnorm = bc.value
         for batch in it:
             if batch.num_rows == 0:
                 continue
@@ -1218,8 +1276,9 @@ def _ivf_assign(spark, sf_dir) -> DataFrame:
     )
 
 
-_IVF_ASSIGN_SQL = """
-cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % 50 = 0),
+_IVF_ASSIGN_SQL = f"""
+cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings
+         ORDER BY (vec_id * {_IVF_H_MUL}) % {_IVF_H_MOD}, vec_id LIMIT {IVF_K}),
 pc AS (
   SELECT e.vec_id, c.cid,
          CAST(unnest(e.embedding) AS DOUBLE) AS x,
@@ -1252,15 +1311,29 @@ SELECT centroid_id, count(*) AS n_vectors FROM assign WHERE rn = 1 GROUP BY cent
 """
 
 
+IVF_NPROBE = 2
+
+
 def ops_ivf_topk(spark, sf_dir):
-    """ANN via IVF (nprobe=1): search only the query's coarse cell, rerank
-    members by exact cosine — the codebook-partitioned scale path next to
-    the sign-LSH one (search cost O(N/K) instead of O(N))."""
+    """ANN via IVF with nprobe=2: probe the query's TWO nearest coarse cells
+    (recovers neighbors that straddle a cell boundary — the standard recall
+    lever), rerank members by exact cosine. Search cost O(nprobe*N/K)
+    instead of O(N); the probe set is computed on the driver against the
+    K-row codebook, so no extra distributed pass."""
+    import numpy as np
+
     a = _ivf_assign(spark, sf_dir)
     e = _t(spark, sf_dir, "embeddings")
-    qc = a.filter(F.col("vec_id") == 0).select(F.col("centroid_id").alias("qcid"))
+    cids, cmat, cnorm = _ivf_codebook(spark, sf_dir)
+    qemb = np.array(
+        e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
+        dtype=np.float64,
+    )
+    qcos = np.round((cmat @ qemb) / (cnorm * np.sqrt(qemb @ qemb)), 6)
+    order = np.lexsort((cids, -qcos))  # cosine desc, centroid id asc
+    probe = [int(cids[i]) for i in order[:IVF_NPROBE]]
     members = (
-        a.join(F.broadcast(qc), F.col("centroid_id") == F.col("qcid"))
+        a.filter(F.col("centroid_id").isin(probe))
         .filter(F.col("vec_id") != 0)
         .select("vec_id")
     )
@@ -1288,10 +1361,11 @@ def ops_ivf_topk(spark, sf_dir):
 
 OPS_IVF_TOPK_SQL = f"""
 WITH {_IVF_ASSIGN_SQL},
-qc AS (SELECT centroid_id FROM assign WHERE vec_id = 0 AND rn = 1),
+qc AS (SELECT cid AS centroid_id FROM cos
+       WHERE vec_id = 0 ORDER BY c DESC, cid ASC LIMIT {IVF_NPROBE}),
 members AS (
-  SELECT a.vec_id FROM assign a, qc
-  WHERE a.rn = 1 AND a.centroid_id = qc.centroid_id AND a.vec_id <> 0
+  SELECT DISTINCT a.vec_id FROM assign a JOIN qc ON a.centroid_id = qc.centroid_id
+  WHERE a.rn = 1 AND a.vec_id <> 0
 ),
 q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
 p AS (
@@ -1374,6 +1448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_ts_filter": eng_ts_filter,
     "eng_binary_filter": eng_binary_filter,
     "eng_compound_filter": eng_compound_filter,
+    "eng_or_filter": eng_or_filter,
     "eng_codec_for": eng_codec_for,
     "eng_codec_prefix": eng_codec_prefix,
     "eng_codec_plain": eng_codec_plain,
@@ -1419,6 +1494,7 @@ ORACLES: dict[str, str] = {
     "eng_ts_filter": ENG_TS_SQL,
     "eng_binary_filter": ENG_BINARY_SQL,
     "eng_compound_filter": ENG_COMPOUND_SQL,
+    "eng_or_filter": ENG_OR_SQL,
     "eng_codec_for": ENG_FOR_SQL,
     "eng_codec_prefix": ENG_PREFIX_SQL,
     "eng_codec_plain": ENG_PLAIN_SQL,

@@ -35,6 +35,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    EqualNullSafe,
     EqualTo,
     Filter,
     GreaterThan,
@@ -45,6 +46,8 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    Not as DSNot,
+    StringStartsWith,
 )
 
 FORMAT_NAME = "pms_encoded"
@@ -94,10 +97,37 @@ def _session_zone():
         raise LookupError(f"cannot resolve session timezone {name!r}") from exc
 
 
-def _filter_to_predicate(f: Filter, logical: dict[str, str]):
-    """Map a Catalyst filter to an engine Predicate (None = unsupported,
-    Spark keeps evaluating it post-scan)."""
-    from ..operators.decode import Predicate
+def _filter_to_predicate(f: Filter, logical: dict[str, str], strict_null: bool = False):
+    """Map a Catalyst filter to an engine predicate expression (None =
+    unsupported, Spark keeps evaluating it post-scan). ``strict_null`` is set
+    under a Not wrapper, where NULL-lenient simplifications (dropping NULL
+    elements from In) would flip unknowns into matches."""
+    from ..operators.decode import And, Not, Predicate
+
+    if isinstance(f, DSNot):
+        child = _filter_to_predicate(f.child, logical, strict_null=True)
+        return None if child is None else Not(child)
+    if isinstance(f, EqualNullSafe):
+        attr = f.attribute
+        col = attr[0] if isinstance(attr, (tuple, list)) else str(attr)
+        if isinstance(attr, (tuple, list)) and len(attr) != 1:
+            return None
+        if col not in logical:
+            return None
+        if f.value is None:
+            return Predicate(col, "isnull", None)
+        # v <=> x  ==  (v = x AND v IS NOT NULL): known-false for NULL v, so
+        # it stays exact under Not (plain "=" would leave NULLs unknown)
+        eq = _filter_to_predicate(EqualTo(f.attribute, f.value), logical, strict_null)
+        return None if eq is None else And([eq, Predicate(col, "notnull", None)])
+    if isinstance(f, StringStartsWith):
+        attr = f.attribute
+        col = attr[0] if isinstance(attr, (tuple, list)) else str(attr)
+        if isinstance(attr, (tuple, list)) and len(attr) != 1:
+            return None
+        if logical.get(col) != "string" or f.value is None:
+            return None
+        return Predicate(col, "startswith", str(f.value))
 
     ops = {
         EqualTo: "=",
@@ -158,8 +188,13 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str]):
         return Predicate(col, op, None)
     try:
         if op == "isin":
-            # NULL elements never match under SQL semantics, so dropping them
-            # keeps the pushed filter exact (and conv never sees None)
+            if strict_null and any(v is None for v in f.value):
+                # under NOT, IN's NULL element must stay NULL-producing:
+                # NOT(2 IN (1, NULL)) is NULL (row dropped), but stripping
+                # the NULL would yield TRUE — decline the pushdown instead
+                return None
+            # at top level NULL elements never match, so dropping them keeps
+            # the pushed filter exact (and conv never sees None)
             return Predicate(col, "isin", [conv(v) for v in f.value if v is not None])
         if f.value is None:
             return None  # comparison to NULL matches nothing; don't consume
@@ -217,12 +252,15 @@ class EncodedTableReader(DataSourceReader):
 
         if partition.value is None:
             return
+        from ..operators.decode import _as_expr
+
         # column pruning reaches the physical layer: _decode_file skips the
         # row groups of unrequested columns entirely (one block-row per row
         # group + col statistics), so selecting a narrow column never reads
         # the html/text blobs
         yield from _decode_file(
-            partition.value, self.logical, self.columns, self.preds, self.gdicts
+            partition.value, self.logical, self.columns, _as_expr(self.preds),
+            self.gdicts,
         )
 
 

@@ -24,7 +24,7 @@ from dataclasses import replace
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.decode import Predicate, scan
+from ..operators.decode import Predicate, scan, scan_many
 from ..operators.encode import EncodeConfig, _local_path, encode_table, read_meta
 
 
@@ -86,13 +86,38 @@ def encode_stream(spark: SparkSession, stream_df: DataFrame, out_root: str,
 def scan_batches(spark: SparkSession, out_root: str,
                  columns: list[str] | None = None,
                  predicate: Predicate | list[Predicate] | None = None) -> DataFrame:
-    """Union scan over every ingested batch directory (same pushdown and
-    pruning per batch as :func:`scan`)."""
+    """Scan every ingested batch directory as one table in ONE job (same
+    pushdown and pruning per bucket file as :func:`scan`). A thousand
+    micro-batch directories plan a single mapInArrow stage — round 2 unioned
+    per-batch scans in a Python loop, which built thousand-node plans and
+    stalled the driver at high batch counts."""
     batches = list_batches(out_root)
     if not batches:
         raise FileNotFoundError(f"no batch directories under {out_root}")
-    df = None
-    for b in batches:
-        part = scan(spark, _batch_dir(out_root, b), columns=columns, predicate=predicate)
-        df = part if df is None else df.unionByName(part)
-    return df
+    return scan_many(spark, [_batch_dir(out_root, b) for b in batches],
+                     columns=columns, predicate=predicate)
+
+
+def compact_batches(spark: SparkSession, out_root: str, dest_dir: str,
+                    cfg: EncodeConfig, plan: dict[str, str] | None = None):
+    """Merge every batch directory into ONE encoded table at ``dest_dir`` —
+    the antidote to micro-batch dir proliferation (thousands of small dirs =
+    thousands of tiny bucket files per scan). One job reads all batches
+    (scan_batches), one encode job writes the compacted table; idempotent:
+    the snapshot id is derived from the exact batch set, so a re-run of the
+    same compaction resumes/no-ops via the lineage checkpoint, and content
+    is deterministic (same rows -> byte-identical buckets) regardless of
+    which batch files they came from."""
+    import hashlib
+
+    batches = list_batches(out_root)
+    if not batches:
+        raise FileNotFoundError(f"no batch directories under {out_root}")
+    sig = hashlib.sha256(",".join(map(str, batches)).encode()).hexdigest()[:16]
+    if plan is None:
+        # keep the stream's pinned plan so the compacted table encodes
+        # identically to what a single big batch would have produced
+        plan = read_meta(spark, _batch_dir(out_root, batches[0]))["plan"]
+    ccfg = replace(cfg, out_dir=dest_dir, snapshot_id=f"compact-{sig}")
+    df = scan_batches(spark, out_root)
+    return encode_table(spark, df, ccfg, plan=plan)

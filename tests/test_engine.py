@@ -585,3 +585,97 @@ def test_datasource_columns_option(spark, encoded):
             == df.filter("lang = 'en'").count())
     with pytest.raises(Exception, match="unknown column"):
         spark.read.format(FORMAT_NAME).option("columns", "nope").load(out).count()
+
+
+def test_predicate_tree_or_not(spark, encoded):
+    """Or/Not trees match the DataFrame oracle, including NULL semantics."""
+    from parquet_main_spark.operators.decode import And, Not, Or
+
+    out, df, _ = encoded
+    cases = [
+        (Or([Predicate("lang", "=", "de"), Predicate("url", ">=", "https://host8")]),
+         "lang = 'de' OR url >= 'https://host8'"),
+        (Not(Predicate("lang", "isin", ["en", "de"])),
+         "NOT (lang IN ('en', 'de'))"),
+        (And([Or([Predicate("lang", "=", "de"), Predicate("lang", "=", "fr")]),
+              Not(Predicate("url", "<", "https://host3"))]),
+         "(lang = 'de' OR lang = 'fr') AND NOT (url < 'https://host3')"),
+        (Predicate("url", "startswith", "https://host12"),
+         "url LIKE 'https://host12%'"),
+    ]
+    for expr, sql in cases:
+        got = scan(spark, out, columns=["url", "lang"], predicate=expr)
+        want = df.filter(sql).select("url", "lang")
+        g, w = _sorted_pdf(got), _sorted_pdf(want)
+        pd.testing.assert_frame_equal(g.reset_index(drop=True), w.reset_index(drop=True)), sql
+
+
+def test_predicate_tree_null_semantics(spark, tmp_path):
+    """NOT over a column with NULLs: NOT(NULL) is NULL, the row is dropped —
+    the Kleene mask must not complement unknowns into matches."""
+    from parquet_main_spark.operators.decode import Not, Or
+
+    df = spark.sql(
+        "SELECT CONCAT('k', id) AS k, "
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE CAST(id % 10 AS INT) END AS v "
+        "FROM range(500)"
+    )
+    out = str(tmp_path / "treenull")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=64, snapshot_id="t1"))
+    cases = [
+        (Not(Predicate("v", "=", 3)), "NOT (v = 3)"),
+        (Not(Not(Predicate("v", ">", 6))), "NOT (NOT (v > 6))"),
+        (Or([Predicate("v", "isnull", None), Not(Predicate("v", "<=", 4))]),
+         "v IS NULL OR NOT (v <= 4)"),
+    ]
+    for expr, sql in cases:
+        assert scan(spark, out, predicate=expr).count() == df.filter(sql).count(), sql
+
+
+def test_pruning_report_or_partial(spark, encoded):
+    """An OR report shows partial pruning: the union of the children's
+    surviving sets still prunes blocks neither child can reach."""
+    from parquet_main_spark.operators.decode import Or
+
+    out, _, _ = encoded
+    rep = pruning_report(spark, out, Or([
+        Predicate("url", ">=", "https://host995"),
+        Predicate("url", "<", "https://host1001"),
+    ]))
+    assert 0 < rep["kept_blocks"] < rep["total_blocks"]
+
+
+def test_datasource_not_and_startswith_pushdown(spark, encoded):
+    """Catalyst Not / StringStartsWith / EqualNullSafe filters push down and
+    stay exact."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    out, df, _ = encoded
+    got = spark.read.format(FORMAT_NAME).load(out)
+    for cond in ("NOT (lang = 'en')", "url LIKE 'https://host12%'",
+                 "NOT (lang IN ('en', 'de'))", "lang <=> 'fr'",
+                 "NOT (lang <=> 'fr')"):
+        assert got.filter(cond).count() == df.filter(cond).count(), cond
+
+
+def test_stats_sampling_stratified(spark, tmp_path):
+    """A clustered (sorted) input yields the same codec plan as its shuffled
+    copy: the stats sample is spread across the partition index space, not
+    taken from the head, so clustering must not skew codec selection."""
+    base = spark.sql(
+        "SELECT id, CONCAT('u', id) AS k, "
+        "CONCAT('g', CAST(id DIV 1000 AS STRING)) AS grp "  # 32 values, 1000-runs
+        "FROM range(32000)"
+    )
+    clustered = base.repartitionByRange(32, "id").drop("id")
+    shuffled = base.repartition(32).drop("id")
+    plans = []
+    for i, df in enumerate((clustered, shuffled)):
+        out = str(tmp_path / f"strat{i}")
+        res = encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k",
+                                                   buckets=2, block_size=4096,
+                                                   snapshot_id="t1"))
+        plans.append(res.plan)
+    assert plans[0] == plans[1]
