@@ -73,11 +73,12 @@ def main() -> None:
                               snapshot_id="warmup"))
     shutil.rmtree(warm, ignore_errors=True)
 
-    # min of 2 timed runs: this VM shows 2-4x run-to-run wall variance, so a
-    # single sample can misreport throughput by that factor
+    # min of 3 timed runs: this VM shows 2-4x run-to-run wall variance (two
+    # consecutive 19s draws were observed around a 12.7s quiet-window best),
+    # so even min-of-2 can misreport the headline by ~1.5x
     out = tempfile.mkdtemp(prefix="pms_bench_enc_")
     t_enc = None
-    for attempt in range(2):
+    for attempt in range(3):
         shutil.rmtree(out, ignore_errors=True)
         cfg = EncodeConfig(out_dir=out, buckets=max(2 * cpus, 64), block_size=65536,
                            snapshot_id=f"bench-{rows}-{attempt}")

@@ -56,15 +56,28 @@ def decode_fixed(buf: bytes | memoryview, dtype: np.dtype) -> np.ndarray:
     return np.frombuffer(buf, dtype=dtype, count=n, offset=5).copy()
 
 
+#: probe a prefix before compressing multi-MB blobs: incompressible payloads
+#: (already-compressed images, high-entropy binary) would otherwise pay a
+#: full zstd pass per block just to be discarded
+_ZSTD_PROBE_BYTES = 1 << 16
+_ZSTD_PROBE_RATIO = 0.95
+
+
 def encode_var_lb(lengths: np.ndarray, blob) -> bytes:
     """(lengths, blob) form — byte-identical to encode_var, no objects."""
     lb = forpack.encode(np.ascontiguousarray(lengths, dtype=np.int64))
     raw = bytes(blob)
     flags, payload = 0, raw
     if len(raw) >= _ZSTD_MIN_BLOB:
-        comp = bytes(_zstd().compress(raw))
-        if len(comp) < _ZSTD_MAX_RATIO * len(raw):
-            flags, payload = 1, comp
+        z = _zstd()
+        attempt = len(raw) <= 2 * _ZSTD_PROBE_BYTES or (
+            len(bytes(z.compress(raw[:_ZSTD_PROBE_BYTES])))
+            < _ZSTD_PROBE_RATIO * _ZSTD_PROBE_BYTES
+        )
+        if attempt:
+            comp = bytes(z.compress(raw))
+            if len(comp) < _ZSTD_MAX_RATIO * len(raw):
+                flags, payload = 1, comp
     head = struct.pack("<BII", flags, len(lengths), len(lb))
     if flags & 1:
         head += struct.pack("<Q", len(raw))

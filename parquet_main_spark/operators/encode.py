@@ -11,11 +11,15 @@ groupBy(bucket).applyInArrow encode UDF; footer extrameta persistence
 
 Scale design: buckets are url-hash ranges (north rule), so the only shuffle
 is the single hash-repartition by bucket; encode itself is embarrassingly
-parallel per bucket; blocks are written with dynamic partition overwrite so
-bucket writes are idempotent (exactly-once under retry/speculation); lineage
-rows let an interrupted run resume by anti-joining completed buckets.
-At 10^12 docs you raise ``buckets`` (e.g. 2**16) so each bucket fits an
-executor; nothing else changes.
+parallel per bucket AND single-pass — each task writes its bucket's parquet
+file directly (deterministic content + atomic rename = idempotent under
+retry/speculation) and returns only lineage rows, so no Spark write stage
+re-shuffles encoded blobs and no second pass re-reads blocks for lineage.
+Bucket files carry one block-row per row group with col/block_id statistics,
+making every (block, column) cell an independently skippable chunk for the
+scan side. Lineage rows let an interrupted run resume by anti-joining
+completed buckets. At 10^12 docs you raise ``buckets`` (e.g. 2**16) so each
+bucket fits an executor; nothing else changes.
 """
 
 from __future__ import annotations

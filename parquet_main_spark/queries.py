@@ -483,6 +483,27 @@ FROM documents WHERE lang = 'de' OR n_chars > 500 GROUP BY lang
 """
 
 
+def eng_startswith_filter(spark, sf_dir):
+    """Prefix predicate pushed into the scan (the DataSource also maps
+    Catalyst StringStartsWith here): zone maps prune on [p, next(p)) range
+    logic, dict-coded blocks evaluate the prefix once against the tiny
+    sorted dictionary."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    rows = scan(spark, out, columns=["doc_id", "source", "n_chars"],
+                predicate=Predicate("source", "startswith", "src1"))
+    return rows.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.min("n_chars").alias("min_chars")
+    )
+
+
+ENG_STARTSWITH_SQL = """
+SELECT source, count(*) AS n_docs, min(n_chars) AS min_chars
+FROM documents WHERE source LIKE 'src1%' GROUP BY source
+"""
+
+
 def _codec_forced_docs(spark, sf_dir) -> str:
     """One encoded copy of documents with four codecs PINNED via
     plan_override (strict: no fallback) — the driver-gated proof that each
@@ -1449,6 +1470,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_binary_filter": eng_binary_filter,
     "eng_compound_filter": eng_compound_filter,
     "eng_or_filter": eng_or_filter,
+    "eng_startswith_filter": eng_startswith_filter,
     "eng_codec_for": eng_codec_for,
     "eng_codec_prefix": eng_codec_prefix,
     "eng_codec_plain": eng_codec_plain,
@@ -1495,6 +1517,7 @@ ORACLES: dict[str, str] = {
     "eng_binary_filter": ENG_BINARY_SQL,
     "eng_compound_filter": ENG_COMPOUND_SQL,
     "eng_or_filter": ENG_OR_SQL,
+    "eng_startswith_filter": ENG_STARTSWITH_SQL,
     "eng_codec_for": ENG_FOR_SQL,
     "eng_codec_prefix": ENG_PREFIX_SQL,
     "eng_codec_plain": ENG_PLAIN_SQL,
