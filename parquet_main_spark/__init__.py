@@ -29,7 +29,8 @@ def __getattr__(name):
         from .operators import encode as _e
 
         return getattr(_e, name)
-    if name in ("Predicate", "And", "Or", "Not", "scan", "pruning_report"):
+    if name in ("Predicate", "And", "Or", "Not", "scan", "scan_many",
+                "scan_count", "pruning_report"):
         from .operators import decode as _d
 
         return getattr(_d, name)

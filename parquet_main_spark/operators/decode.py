@@ -296,65 +296,117 @@ def _block_survives(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) -
     return cond
 
 
+def _block_all_match(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) -> bool:
+    """True only when EVERY row of the block satisfies the predicate (the
+    definite-match side of the zone map — the dual of _block_survives).
+    Unknown (None) bounds or any NULL row (which never matches a value
+    predicate) make this False; the answer must be certain."""
+    if n == 0:
+        return True
+    if pred.op == "isnull":
+        return null_count == n
+    if pred.op == "notnull":
+        return null_count == 0
+    if null_count > 0 or lo is None or hi is None:
+        return False
+    enc = (lambda x: bytes(x).hex()) if lt == "binary" else (lambda x: x)
+    op, v = pred.op, pred.value
+    if op == "=":
+        return lo == enc(v) and hi == enc(v)
+    if op == "!=":
+        return hi < enc(v) or lo > enc(v)
+    if op == "<":
+        return hi < enc(v)
+    if op == "<=":
+        return hi <= enc(v)
+    if op == ">":
+        return lo > enc(v)
+    if op == ">=":
+        return lo >= enc(v)
+    if op == "between":
+        return lo >= enc(v[0]) and hi <= enc(v[1])
+    if op == "isin":
+        return bool(len(v)) and lo == hi and any(lo == enc(x) for x in v)
+    if op == "startswith":
+        # a shared prefix of the (possibly truncated) bounds covers every
+        # value in [lo, hi]: stored lo <= real min <= real max <= stored hi
+        return lo[: len(v)] == v and hi[: len(v)] == v and len(lo) >= len(v)
+    raise ValueError(f"unknown predicate op {pred.op!r}")
+
+
 _STATS_COLS = ["block_id", "col", "n", "null_count",
                "min_int", "max_int", "min_num", "max_num", "min_str", "max_str"]
 _DATA_COLS = ["block_id", "col", "codec", "params", "n", "null_count",
               "validity", "data", "dict"]
 
 
-def _surviving_blocks(stats: pa.Table, expr, logical: dict[str, str]):
-    """Set of block_ids the zone maps cannot rule out for ``expr``
-    (None = cannot prune anything -> read everything). Conjunctions
-    intersect children's sets, disjunctions union them, negations keep all
-    blocks (refuting may-contain would need definitely-all-match analysis —
-    the row mask stays exact either way)."""
-    if expr is None:
-        return None
+def _classify_blocks(stats: pa.Table, expr, logical: dict[str, str]):
+    """Per-block three-valued zone-map classification of ``expr``:
+    returns (may, all) — the block_ids that MAY contain a match and the
+    block_ids where EVERY row definitely matches. Conjunctions intersect,
+    disjunctions union, and Not swaps via De Morgan:
+    may(NOT c) = universe − all(c), all(NOT c) = universe − may(c) —
+    so negations genuinely prune (blocks where the child definitely
+    all-matches are dropped undecoded) instead of keeping everything."""
     data = {name: stats.column(name).to_pylist()
             for name in ("col", "block_id", "n", "null_count",
                          "min_int", "max_int", "min_num", "max_num",
                          "min_str", "max_str")}
+    universe = {b for b in data["block_id"] if b >= 0}
 
     def walk(e):
         if isinstance(e, Predicate):
             lt = logical[e.col]
             lo_name, hi_name = _stat_cols(lt)
-            return {
-                data["block_id"][i]
-                for i in range(len(data["col"]))
-                if data["col"][i] == e.col
-                and _block_survives(e, lt, data[lo_name][i], data[hi_name][i],
-                                    data["null_count"][i], data["n"][i])
-            }
+            may, allm = set(), set()
+            for i in range(len(data["col"])):
+                if data["col"][i] != e.col or data["block_id"][i] < 0:
+                    continue
+                args = (e, lt, data[lo_name][i], data[hi_name][i],
+                        data["null_count"][i], data["n"][i])
+                if _block_survives(*args):
+                    may.add(data["block_id"][i])
+                    if _block_all_match(*args):
+                        allm.add(data["block_id"][i])
+            return may, allm
         if isinstance(e, And):
-            out = None
+            may, allm = set(universe), set(universe)
             for c in e.children:
-                s = walk(c)
-                if s is not None:
-                    out = s if out is None else (out & s)
-            return out
+                cm, ca = walk(c)
+                may &= cm
+                allm &= ca
+            return may, allm
         if isinstance(e, Or):
-            out = set()
+            may, allm = set(), set()
             for c in e.children:
-                s = walk(c)
-                if s is None:
-                    return None  # one unprunable child => keep everything
-                out |= s
-            return out
+                cm, ca = walk(c)
+                may |= cm
+                allm |= ca
+            return may, allm
         if isinstance(e, Not):
-            return None
+            cm, ca = walk(e.child)
+            return universe - ca, universe - cm
         raise TypeError(f"not a predicate expression: {e!r}")
 
     return walk(expr)
 
 
+def _surviving_blocks(stats: pa.Table, expr, logical: dict[str, str]):
+    """Set of block_ids the zone maps cannot rule out for ``expr``
+    (None = no predicate -> read everything)."""
+    if expr is None:
+        return None
+    return _classify_blocks(stats, expr, logical)[0]
+
+
 def _decode_file(path: str, logical: dict[str, str], columns: list[str],
-                 expr, gdicts: dict):
+                 expr, gdicts: dict, restrict_blocks: set | None = None):
     """Decode one bucket file: zone-map prune from a stats-only columnar read
     (block blobs are never fetched for pruned blocks — the lazy-page analog,
     CompressedDataPageV1.java:30-45), then STREAM the surviving blocks row
     group by row group; at most one incomplete block group is buffered across
-    a row-group boundary, never the whole file."""
+    a row-group boundary, never the whole file. ``restrict_blocks`` further
+    limits decoding to the given block_ids (the count-only boundary path)."""
     import pyarrow.parquet as pq
 
     expr = _as_expr(expr)
@@ -364,8 +416,10 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
     if expr is not None:
         stats = f.read(columns=_STATS_COLS)
         surviving = _surviving_blocks(stats, expr, logical)
-        if surviving is not None and not surviving:
-            return
+    if restrict_blocks is not None:
+        surviving = restrict_blocks if surviving is None else (surviving & restrict_blocks)
+    if surviving is not None and not surviving:
+        return
     md = f.metadata
     arrow_schema = md.schema.to_arrow_schema()
     bid_idx = arrow_schema.get_field_index("block_id")
@@ -675,6 +729,48 @@ def scan(
     )
 
 
+def _count_file(path: str, logical: dict[str, str], expr, gdicts: dict) -> int:
+    """COUNT(*) over one bucket file with a pushed predicate, reading as
+    little as possible: blocks the zone map classifies as definite-all-match
+    are counted FROM STATS ALONE (their rows never leave disk — the
+    reference's count-only converter sink, SURVEY §2.5 Q7, taken to its
+    logical end); definite-no-match blocks are skipped; only boundary blocks
+    decode — and only their PREDICATE columns, never the payload."""
+    import pyarrow.parquet as pq
+
+    expr = _as_expr(expr)
+    f = pq.ParquetFile(path)
+    stats = f.read(columns=_STATS_COLS)
+    if expr is None:
+        bids = stats.column("block_id").to_pylist()
+        ns = stats.column("n").to_pylist()
+        cols = stats.column("col").to_pylist()
+        anchor = next(iter(logical))
+        return sum(n for c, b, n in zip(cols, bids, ns) if c == anchor and b >= 0)
+    may, allm = _classify_blocks(stats, expr, logical)
+    total = 0
+    if allm:
+        seen = set()
+        bids = stats.column("block_id").to_pylist()
+        ns = stats.column("n").to_pylist()
+        for b, n in zip(bids, ns):
+            if b in allm and b not in seen:
+                seen.add(b)
+                total += n
+    boundary = may - allm
+    if not boundary:
+        return total
+    # boundary blocks: decode ONLY the predicate columns and count the rows
+    # the exact Kleene mask keeps
+    pred_cols = list(dict.fromkeys(p.col for p in _expr_leaves(expr)))
+    total += sum(
+        b.num_rows
+        for b in _decode_file(path, logical, pred_cols, expr, gdicts,
+                              restrict_blocks=boundary)
+    )
+    return total
+
+
 def _decode_tasks_multi(logical: dict[str, str], columns: list[str], expr,
                         gdicts_list: list[dict], it):
     """Multi-directory variant of _decode_tasks: each task row carries the
@@ -727,6 +823,38 @@ def scan_many(
         partial(_decode_tasks_multi, logical, list(columns), expr, gdicts_list),
         out_schema,
     )
+
+
+def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
+    """COUNT(*) with a pushed predicate, reading the minimum possible:
+    definite-all-match blocks (three-valued zone-map classification,
+    incl. under Not/Or trees) are counted from statistics alone — their
+    data never leaves disk; definite-no-match blocks are skipped; only
+    boundary blocks decode, and only their predicate columns. The
+    reference's count-only converter sink (SURVEY §2.5 Q7) taken to its
+    logical end: a selective COUNT at 100 TB touches a few boundary
+    blocks' predicate columns, not the table."""
+    meta = read_meta(spark, out_dir)
+    logical: dict[str, str] = meta["logical"]
+    from .encode import gdicts_from_json
+
+    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
+    expr = _as_expr(predicate)
+    files = _list_block_files(out_dir, spark)
+    if not files:
+        return 0
+
+    def count_tasks(it):
+        for batch in it:
+            for path in batch.column("path").to_pylist():
+                yield pa.RecordBatch.from_pylist(
+                    [{"c": _count_file(path, logical, expr, gdicts)}],
+                    schema=pa.schema([("c", pa.int64())]),
+                )
+
+    tasks = spark.createDataFrame([(p,) for p in files], "path string").repartition(len(files))
+    rows = tasks.mapInArrow(count_tasks, "c long").agg(F.sum("c").alias("n")).collect()
+    return int(rows[0]["n"] or 0)
 
 
 def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, int]:

@@ -504,6 +504,29 @@ FROM documents WHERE source LIKE 'src1%' GROUP BY source
 """
 
 
+def eng_count_pushdown(spark, sf_dir):
+    """COUNT(*) answered from the zone map's three-valued classification:
+    definite-all-match blocks are counted from statistics alone (their data
+    never leaves disk), only boundary blocks decode — and only the predicate
+    column (the count-only converter sink, SURVEY §2.5 Q7, taken to its
+    logical end)."""
+    from .operators.decode import Not, Predicate, scan_count
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    n1 = scan_count(spark, out, Predicate("n_chars", "between", (100, 900)))
+    n2 = scan_count(spark, out, Not(Predicate("lang", "=", "en")))
+    n3 = scan_count(spark, out, None)
+    return spark.createDataFrame([(n1, n2, n3)],
+                                 "n_mid long, n_not_en long, n_total long")
+
+
+ENG_COUNT_SQL = """
+SELECT (SELECT count(*) FROM documents WHERE n_chars BETWEEN 100 AND 900) AS n_mid,
+       (SELECT count(*) FROM documents WHERE NOT (lang = 'en')) AS n_not_en,
+       (SELECT count(*) FROM documents) AS n_total
+"""
+
+
 def _codec_forced_docs(spark, sf_dir) -> str:
     """One encoded copy of documents with four codecs PINNED via
     plan_override (strict: no fallback) — the driver-gated proof that each
@@ -1471,6 +1494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_compound_filter": eng_compound_filter,
     "eng_or_filter": eng_or_filter,
     "eng_startswith_filter": eng_startswith_filter,
+    "eng_count_pushdown": eng_count_pushdown,
     "eng_codec_for": eng_codec_for,
     "eng_codec_prefix": eng_codec_prefix,
     "eng_codec_plain": eng_codec_plain,
@@ -1518,6 +1542,7 @@ ORACLES: dict[str, str] = {
     "eng_compound_filter": ENG_COMPOUND_SQL,
     "eng_or_filter": ENG_OR_SQL,
     "eng_startswith_filter": ENG_STARTSWITH_SQL,
+    "eng_count_pushdown": ENG_COUNT_SQL,
     "eng_codec_for": ENG_FOR_SQL,
     "eng_codec_prefix": ENG_PREFIX_SQL,
     "eng_codec_plain": ENG_PLAIN_SQL,

@@ -679,3 +679,88 @@ def test_stats_sampling_stratified(spark, tmp_path):
                                                    snapshot_id="t1"))
         plans.append(res.plan)
     assert plans[0] == plans[1]
+
+
+def test_scan_count_matches_oracle(spark, encoded):
+    """scan_count answers COUNT(*) exactly for every predicate form,
+    including trees and no predicate at all."""
+    from parquet_main_spark.operators.decode import Not, Or, scan_count
+
+    out, df, _ = encoded
+    cases = [
+        (None, "1=1"),
+        (Predicate("lang", "=", "en"), "lang = 'en'"),
+        (Predicate("url", "between", ("https://host3", "https://host6")),
+         "url BETWEEN 'https://host3' AND 'https://host6'"),
+        (Not(Predicate("lang", "isin", ["en", "de"])), "NOT (lang IN ('en','de'))"),
+        (Or([Predicate("lang", "=", "fr"), Predicate("url", ">=", "https://host9")]),
+         "lang = 'fr' OR url >= 'https://host9'"),
+        (Predicate("url", "startswith", "https://host1"), "url LIKE 'https://host1%'"),
+        (Predicate("lang", "=", "zz"), "lang = 'zz'"),
+    ]
+    for expr, sql in cases:
+        assert scan_count(spark, out, expr) == df.filter(sql).count(), sql
+
+
+def test_scan_count_with_nulls(spark, tmp_path):
+    from parquet_main_spark.operators.decode import Not, scan_count
+
+    df = spark.sql(
+        "SELECT CONCAT('k', id) AS k, "
+        "CASE WHEN id % 4 = 0 THEN NULL ELSE CAST(id % 100 AS INT) END AS v "
+        "FROM range(2000)"
+    )
+    out = str(tmp_path / "cntnull")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=128, snapshot_id="t1"))
+    for expr, sql in [
+        (Predicate("v", "isnull", None), "v IS NULL"),
+        (Predicate("v", "notnull", None), "v IS NOT NULL"),
+        (Not(Predicate("v", "<", 50)), "NOT (v < 50)"),
+        (Predicate("v", ">=", 0), "v >= 0"),
+    ]:
+        assert scan_count(spark, out, expr) == df.filter(sql).count(), sql
+
+
+def test_not_predicate_prunes_blocks(spark, tmp_path, monkeypatch):
+    """Definite-match classification gives Not real pruning power: blocks
+    whose range lies entirely inside a NOT-ed between are dropped undecoded
+    (De Morgan over the zone map), and an all-match count reads NO data row
+    groups at all."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from parquet_main_spark.operators.decode import Not, _count_file, _decode_file
+    from parquet_main_spark.operators.encode import read_meta
+
+    df = spark.sql("SELECT CONCAT('k', LPAD(CAST(id AS STRING), 6, '0')) AS k, id AS v "
+                   "FROM range(4000)")
+    out = str(tmp_path / "notprune")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=1,
+                                         block_size=256, order_by=["k"],
+                                         snapshot_id="t1"))
+    meta = read_meta(spark, out)
+    path = sorted(glob.glob(f"{out}/blocks/bucket=*/*.parquet"))[0]
+
+    read_rgs: list[int] = []
+    orig = pq.ParquetFile.read_row_group
+
+    def spy(self, rg, *a, **kw):
+        read_rgs.append(rg)
+        return orig(self, rg, *a, **kw)
+
+    monkeypatch.setattr(pq.ParquetFile, "read_row_group", spy)
+
+    # NOT(v BETWEEN 500 AND 3500): interior blocks all-match the between and
+    # must be pruned; only the two boundary-range blocks decode
+    expr = Not(Predicate("v", "between", (500, 3500)))
+    rows = sum(b.num_rows for b in _decode_file(path, meta["logical"], ["v"], expr, {}))
+    assert rows == df.filter("NOT (v BETWEEN 500 AND 3500)").count()
+    n_blocks = 4000 // 256 + 1
+    assert 0 < len(read_rgs) < n_blocks  # pruned: far fewer rgs than blocks
+
+    # all-match count: v >= 0 holds everywhere -> stats-only, zero rg reads
+    read_rgs.clear()
+    assert _count_file(path, meta["logical"], Predicate("v", ">=", 0), {}) == 4000
+    assert read_rgs == []
