@@ -43,15 +43,30 @@ def list_batches(out_root: str) -> list[int]:
     return sorted(out)
 
 
+def _seen_keys_dir(out_root: str) -> str:
+    return f"{out_root}/_seen_keys"
+
+
 def encode_stream(spark: SparkSession, stream_df: DataFrame, out_root: str,
-                  cfg: EncodeConfig, checkpoint_dir: str, available_now: bool = True):
+                  cfg: EncodeConfig, checkpoint_dir: str, available_now: bool = True,
+                  dedup_keys: list[str] | None = None):
     """Start (and by default drain) a streaming encode.
 
     ``cfg.out_dir`` is ignored; each micro-batch writes
     ``out_root/batch=<id>``. With ``available_now`` the call blocks until all
     currently-available input is encoded (the batch-job-like trigger);
     otherwise the running query is returned for the caller to manage.
-    """
+
+    ``dedup_keys``: CROSS-BATCH exact dedup for a continuously-crawled
+    corpus — rows whose key(s) already landed in an earlier micro-batch are
+    dropped before encoding (first occurrence wins; within a batch,
+    dropDuplicates keeps one row per key). State is a compact parquet table
+    of xxhash64 key digests under ``out_root/_seen_keys``, partitioned by
+    batch: a broadcast-or-shuffle ANTI-JOIN per batch — no driver-side set,
+    no growth limit beyond the key count itself. Exactly-once: the seen-keys
+    partition for batch N is written AFTER batch N encodes, and a replayed
+    batch anti-joins only the PRIOR batches' keys (its own partition is
+    idempotently overwritten)."""
     state: dict[str, object] = {"plan": None}
     batches = list_batches(out_root)
     if batches:
@@ -62,15 +77,43 @@ def encode_stream(spark: SparkSession, stream_df: DataFrame, out_root: str,
             pass
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        if dedup_keys:
+            from pyspark.sql import functions as F
+
+            key = F.xxhash64(*[F.col(c) for c in dedup_keys])
+            batch_df = batch_df.dropDuplicates(dedup_keys)
+            seen_root = _seen_keys_dir(out_root)
+            try:
+                # batch=N partition dirs; exclude our own (replay idempotence)
+                seen = (sess.read.parquet(seen_root)
+                        .filter(F.col("batch") != batch_id).select("k"))
+            except Exception:
+                seen = None  # first batch: no state yet
+            if seen is not None:
+                batch_df = (
+                    batch_df.withColumn("_k", key)
+                    .join(seen.withColumnRenamed("k", "_k"), "_k", "left_anti")
+                    .drop("_k")
+                )
         bcfg = replace(
             cfg,
             out_dir=_batch_dir(out_root, batch_id),
             snapshot_id=f"{cfg.snapshot_id}-b{batch_id}",
             global_dict_max_card=0,  # bucket-local dicts only: batch dirs stay self-contained
         )
-        res = encode_table(batch_df.sparkSession, batch_df, bcfg, plan=state["plan"])
+        res = encode_table(sess, batch_df, bcfg, plan=state["plan"])
         if state["plan"] is None:
             state["plan"] = res.plan
+        if dedup_keys:
+            from pyspark.sql import functions as F
+
+            # persist this batch's keys AFTER its encode committed (replay
+            # overwrites the same partition -> idempotent)
+            (batch_df.select(F.xxhash64(*[F.col(c) for c in dedup_keys]).alias("k"))
+             .distinct()
+             .write.mode("overwrite")
+             .parquet(f"{_seen_keys_dir(out_root)}/batch={batch_id}"))
 
     writer = (
         stream_df.writeStream.foreachBatch(handle)

@@ -112,3 +112,33 @@ def test_compact_batches_roundtrip(spark, tmp_path):
     # idempotent re-run: same batch set -> same snapshot id -> all resumed
     res2 = compact_batches(spark, out_root, dest, cfg)
     assert res2.encoded_buckets == 0 and res2.resumed_buckets == 4
+
+
+def test_streaming_cross_batch_dedup(spark, tmp_path):
+    """dedup_keys drops rows whose key already landed in an EARLIER
+    micro-batch (first occurrence wins): wave 2 re-delivers half of wave 1's
+    urls plus new ones; only the new ones are encoded."""
+    src = str(tmp_path / "dupsrc")
+    out_root = str(tmp_path / "dup_root")
+    ckpt = str(tmp_path / "dup_ckpt")
+
+    full = webpages(spark, 800, partitions=2)
+    wave1 = full.filter(F.col("url") < "https://host5")
+    dupes = wave1.limit(0).unionByName(wave1.filter(F.col("url") < "https://host3"))
+    wave2 = full.filter(F.col("url") >= "https://host5").unionByName(dupes)
+
+    cfg = EncodeConfig(out_dir="ignored", buckets=2, block_size=128, snapshot_id="d")
+    from parquet_main_spark.streaming.ingest import encode_stream as es
+
+    wave1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(full.schema).parquet(src)
+    es(spark, stream, out_root, cfg, ckpt, dedup_keys=["url"])
+    n1 = scan_batches(spark, out_root, columns=["url"]).count()
+    assert n1 == wave1.count()
+
+    wave2.write.mode("append").parquet(src)
+    es(spark, stream, out_root, cfg, ckpt, dedup_keys=["url"])
+    got = scan_batches(spark, out_root, columns=["url"])
+    # every url exactly once, despite the re-delivered duplicates
+    assert got.count() == full.count()
+    assert got.distinct().count() == full.count()
