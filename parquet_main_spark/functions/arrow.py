@@ -64,6 +64,7 @@ _PA_FROM_LOGICAL = {
 
 
 _DEC_RE = re.compile(r"^decimal64\((\d+),(\d+)\)$")
+_DEC128_RE = re.compile(r"^decimal128\((\d+),(\d+)\)$")
 
 
 def decimal_params(lt: str) -> tuple[int, int] | None:
@@ -71,22 +72,45 @@ def decimal_params(lt: str) -> tuple[int, int] | None:
     return (int(m.group(1)), int(m.group(2))) if m else None
 
 
+def decimal128_params(lt: str) -> tuple[int, int] | None:
+    m = _DEC128_RE.match(lt)
+    return (int(m.group(1)), int(m.group(2))) if m else None
+
+
 def codec_type(lt: str) -> str:
     """Logical type as the CODECS see it: decimal64(p,s) is carried as its
     unscaled int64 (the reference stores decimals as fixed-width ints too,
-    EncValuesWriterFactory.java:82-101); everything else maps to itself."""
-    return "int64" if lt.startswith("decimal64(") else lt
+    EncValuesWriterFactory.java:82-101); decimal128(p,s) — precision 19..38 —
+    rides the BINARY codec family as a 16-byte ORDER-PRESERVING key
+    (offset-binary big-endian, the FIXED_LEN_BYTE_ARRAY decimal analog), so
+    dictionaries, zone maps and range predicates all work byte-wise;
+    everything else maps to itself."""
+    if lt.startswith("decimal64("):
+        return "int64"
+    if lt.startswith("decimal128("):
+        return "binary"
+    return lt
+
+
+def dec128_key(unscaled: int) -> bytes:
+    """Unscaled int128 -> 16-byte big-endian offset-binary key: byte order
+    equals numeric order (two's complement with the sign bit flipped)."""
+    return (unscaled + (1 << 127)).to_bytes(16, "big")
+
+
+def dec128_unkey(key: bytes) -> int:
+    return int.from_bytes(key, "big") - (1 << 127)
 
 
 def spark_type(lt: str) -> str:
-    p = decimal_params(lt)
+    p = decimal_params(lt) or decimal128_params(lt)
     if p:
         return f"decimal({p[0]},{p[1]})"
     return SPARK_FROM_LOGICAL[lt]
 
 
 def pa_type(lt: str):
-    p = decimal_params(lt)
+    p = decimal_params(lt) or decimal128_params(lt)
     if p:
         return pa.decimal128(*p)
     return _PA_FROM_LOGICAL[lt]
@@ -97,11 +121,11 @@ def logical_types(schema: T.StructType) -> dict[str, str]:
     for f in schema.fields:
         if isinstance(f.dataType, T.DecimalType):
             p, s = f.dataType.precision, f.dataType.scale
-            if p > 18:
+            if p > 38:
                 raise TypeError(
-                    f"decimal precision > 18 not supported ({f.name}: decimal({p},{s}))"
+                    f"decimal precision > 38 not supported ({f.name}: decimal({p},{s}))"
                 )
-            out[f.name] = f"decimal64({p},{s})"
+            out[f.name] = (f"decimal64({p},{s})" if p <= 18 else f"decimal128({p},{s})")
             continue
         name = f.dataType.typeName()
         if name not in LOGICAL_FROM_SPARK:
@@ -132,6 +156,18 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
         raw = np.frombuffer(arr.buffers()[1], dtype=np.int64,
                             offset=arr.offset * 16, count=2 * len(arr))
         vals = raw[::2].copy()
+    elif lt.startswith("decimal128("):
+        # p 19..38: full 16-byte value -> order-preserving big-endian
+        # offset-binary keys (flip the two's-complement sign bit, byteswap)
+        raw = np.frombuffer(arr.buffers()[1], dtype=np.uint64,
+                            offset=arr.offset * 16, count=2 * len(arr))
+        be = np.empty((len(arr), 2), dtype=">u8")
+        be[:, 0] = raw[1::2] ^ np.uint64(1 << 63)  # high word, sign flipped
+        be[:, 1] = raw[::2]
+        buf = be.tobytes()
+        vals = np.empty(len(arr), dtype=object)
+        for i in range(len(arr)):  # edge-type fallback: bounded per block
+            vals[i] = buf[i * 16 : (i + 1) * 16]
     elif lt == "binary":
         vals = np.array(arr.to_pylist(), dtype=object) if len(arr) else np.empty(0, dtype=object)
     else:
@@ -143,6 +179,26 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
 
 def dense_to_arrow(values: np.ndarray, mask: np.ndarray | None, lt: str) -> pa.Array:
     """Reinflate nulls and convert to the Arrow type Spark expects."""
+    dp128 = decimal128_params(lt)
+    if dp128:
+        n = len(mask) if mask is not None else len(values)
+        be = np.zeros((n, 2), dtype=">u8")
+        if len(values):
+            joined = np.frombuffer(b"".join(values), dtype=">u8").reshape(-1, 2)
+            if mask is None:
+                be[:] = joined
+            else:
+                be[mask] = joined
+        pairs = np.empty((n, 2), dtype=np.uint64)  # little-endian (lo, hi)
+        pairs[:, 0] = be[:, 1]
+        pairs[:, 1] = be[:, 0].astype(np.uint64) ^ np.uint64(1 << 63)
+        vbuf = None if mask is None else pa.py_buffer(
+            np.packbits(mask, bitorder="little").tobytes()
+        )
+        return pa.Array.from_buffers(
+            pa.decimal128(*dp128), n, [vbuf, pa.py_buffer(pairs.tobytes())],
+            null_count=0 if mask is None else int(n - mask.sum()),
+        )
     dp = decimal_params(lt)
     if dp:
         n = len(mask) if mask is not None else len(values)

@@ -140,8 +140,9 @@ def prune_filter(pred: Predicate, lt: str):
         return F.col("null_count") < F.col("n")
     lo, hi = [F.col(c) for c in _stat_cols(lt)]
     # binary bounds are stored hex-encoded (order-preserving); compare the
-    # literal in the same space
-    enc = (lambda x: bytes(x).hex()) if lt == "binary" else (lambda x: x)
+    # literal in the same space (decimal128 values arrive pre-normalized to
+    # 16-byte order-preserving keys, i.e. binary)
+    enc = (lambda x: bytes(x).hex()) if codec_type(lt) == "binary" else (lambda x: x)
     v = pred.value
     if pred.op == "=":
         cond = (lo <= F.lit(enc(v))) & (hi >= F.lit(enc(v)))
@@ -252,7 +253,7 @@ def _block_survives(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) -
         return null_count > 0
     if pred.op == "notnull":
         return null_count < n
-    enc = (lambda x: bytes(x).hex()) if lt == "binary" else (lambda x: x)
+    enc = (lambda x: bytes(x).hex()) if codec_type(lt) == "binary" else (lambda x: x)
 
     def ge(a, b):
         return None if a is None else a >= b
@@ -309,7 +310,7 @@ def _block_all_match(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) 
         return null_count == 0
     if null_count > 0 or lo is None or hi is None:
         return False
-    enc = (lambda x: bytes(x).hex()) if lt == "binary" else (lambda x: x)
+    enc = (lambda x: bytes(x).hex()) if codec_type(lt) == "binary" else (lambda x: x)
     op, v = pred.op, pred.value
     if op == "=":
         return lo == enc(v) and hi == enc(v)
@@ -657,6 +658,45 @@ def _as_expr(predicate):
     raise TypeError(f"not a predicate expression: {predicate!r}")
 
 
+def _normalize_expr(expr, logical: dict[str, str]):
+    """Convert leaf values for decimal128 columns from unscaled ints (or
+    decimal.Decimal) to the 16-byte order-preserving keys the binary codec
+    path compares. Idempotent: bytes pass through untouched."""
+    import decimal
+
+    from ..functions.arrow import dec128_key, decimal128_params
+
+    def conv_one(col: str, v):
+        dp = decimal128_params(logical.get(col, ""))
+        if dp is None or v is None or isinstance(v, (bytes, bytearray)):
+            return bytes(v) if isinstance(v, (bytes, bytearray)) else v
+        if isinstance(v, decimal.Decimal):
+            v = int(v.scaleb(dp[1]))
+        return dec128_key(int(v))
+
+    def walk(e):
+        if e is None:
+            return None
+        if isinstance(e, Predicate):
+            if e.op in ("isnull", "notnull"):
+                return e
+            if e.op == "between":
+                return Predicate(e.col, e.op, (conv_one(e.col, e.value[0]),
+                                               conv_one(e.col, e.value[1])))
+            if e.op == "isin":
+                return Predicate(e.col, e.op, [conv_one(e.col, x) for x in e.value])
+            return Predicate(e.col, e.op, conv_one(e.col, e.value))
+        if isinstance(e, And):
+            return And([walk(c) for c in e.children])
+        if isinstance(e, Or):
+            return Or([walk(c) for c in e.children])
+        if isinstance(e, Not):
+            return Not(walk(e.child))
+        raise TypeError(f"not a predicate expression: {e!r}")
+
+    return walk(expr)
+
+
 def _list_block_files(out_dir: str, spark: SparkSession | None = None) -> list[str]:
     """Bucket files under out_dir/blocks. Posix paths list via glob; Hadoop
     FS URIs (hdfs://, s3a://, ...) list via the JVM FileSystem (one
@@ -716,7 +756,7 @@ def scan(
     from .encode import gdicts_from_json
 
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-    expr = _as_expr(predicate)
+    expr = _normalize_expr(_as_expr(predicate), logical)
     if columns is None:
         columns = list(logical)
     files = _list_block_files(out_dir, spark)
@@ -809,7 +849,7 @@ def scan_many(
                 f"{out_dirs[0]} has {logical}"
             )
     gdicts_list = [gdicts_from_json(m.get("gdicts", {}), logical) for m in metas]
-    expr = _as_expr(predicate)
+    expr = _normalize_expr(_as_expr(predicate), logical)
     if columns is None:
         columns = list(logical)
     files = [
@@ -839,7 +879,7 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
     from .encode import gdicts_from_json
 
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-    expr = _as_expr(predicate)
+    expr = _normalize_expr(_as_expr(predicate), logical)
     files = _list_block_files(out_dir, spark)
     if not files:
         return 0
@@ -864,7 +904,7 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, in
     children's surviving block sets; Not conservatively keeps every block
     (the scan's row mask stays exact)."""
     meta = read_meta(spark, out_dir)
-    expr = _as_expr(predicate)
+    expr = _normalize_expr(_as_expr(predicate), meta["logical"])
     if expr is None:
         raise ValueError("pruning_report needs at least one predicate")
     blocks = read_blocks(spark, out_dir).filter(F.col("block_id") >= 0)

@@ -519,6 +519,8 @@ def _encode_group(
             np.cumsum(mask_all, out=dc[1:])
             ctx["dense_cum"] = dc
         if lt in _VT:
+            # decimal128 (ct binary, object bytes) has no var-len Arrow
+            # buffers — it takes the fixed path below via its 16-byte keys
             arr_nn = arr_all.drop_null() if arr_all.null_count else arr_all
             lengths_all, blob_all = _a2lb(arr_nn)
             off = np.zeros(len(lengths_all) + 1, dtype=np.int64)
@@ -569,8 +571,8 @@ def _encode_group(
                 if len(ids_blk):
                     lo_v = c["uniq"][int(ids_blk.min())]
                     hi_v = c["uniq"][int(ids_blk.max())]
-                    if lt in _VT:
-                        ms, xs = _var_bounds(lo_v, hi_v, lt)
+                    if ct in _VT:
+                        ms, xs = _var_bounds(lo_v, hi_v, ct)
                     elif ct in FLOAT_TYPES:
                         mn, mx = float(lo_v), float(hi_v)
                     else:
@@ -580,6 +582,11 @@ def _encode_group(
                     raw = int(lens.sum()) + 4 * len(lens)
                     blob_s = c["blob"][c["off"][ds] : c["off"][de]]
                     sha = canonical_sha_lb(lens, blob_s, mask)
+                elif ct in _VT:
+                    # keyed var-len without Arrow buffers (decimal128 keys)
+                    vals_blk = c["uniq"][ids_blk]
+                    raw = sum(len(x) for x in vals_blk) + 4 * len(vals_blk)
+                    sha = canonical_sha(vals_blk, mask, ct)
                 else:
                     vals_blk = c["uniq"][ids_blk].astype(_NP_DTYPE[ct], copy=False)
                     raw = int(vals_blk.nbytes)
@@ -806,7 +813,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
             cands = [
                 c for c, codec in plan.items()
                 if codec == "dict" and logical[c] != "binary" and c not in forced
-                and not logical[c].startswith("decimal64(")  # unscaled collect is bdict's job
+                and not logical[c].startswith("decimal")  # unscaled/keyed collect is bdict's job
                 and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
             ]
             if cands:

@@ -681,6 +681,49 @@ FROM lineitem WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 50000.00
 """
 
 
+def eng_decimal128_scan(spark, sf_dir):
+    """WIDE-decimal coverage (precision 19..38): decimal128 rides the BINARY
+    codec family as 16-byte big-endian offset-binary keys, so byte order ==
+    numeric order and zone maps / dictionaries / range predicates all work
+    byte-wise — the FIXED_LEN_BYTE_ARRAY-decimal analog of the reference's
+    type matrix (EncValuesWriterFactory.java:82-101). The value is built by
+    EXACT scale extension (decimal(12,2) -> decimal(38,18), no arithmetic)
+    so Spark and the DuckDB oracle agree digit-for-digit; at scale 18 the
+    unscaled value ~1e23 genuinely exceeds int64. The pushed predicate takes
+    the unscaled int; scan() normalizes it to the 16-byte key."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(
+        spark, sf_dir, "lineitem", "l_orderkey", name="lineitem_dec128",
+        transform=lambda d: d.select(
+            "l_orderkey",
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            .cast("decimal(38,18)").alias("big"),
+        ),
+    )
+    thr = 50_000 * 10**18  # unscaled 50000.000000000000000000 at scale 18
+    rows = scan(spark, out, columns=["l_orderkey", "big"],
+                predicate=Predicate("big", ">=", thr))
+    return rows.agg(
+        F.count("*").alias("n_rows"),
+        # aggregate exactly in decimal, report as double: DuckDB's pandas
+        # bridge floats wide decimals anyway, so both sides cast the SAME
+        # exact decimal once at the end
+        F.sum("big").cast("double").alias("total"),
+        F.min("big").cast("double").alias("min_big"),
+    )
+
+
+ENG_DECIMAL128_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(big) AS DOUBLE) AS total,
+       CAST(min(big) AS DOUBLE) AS min_big
+FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS big
+      FROM lineitem)
+WHERE big >= 50000
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1502,6 +1545,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_codec_bool_rle": eng_codec_bool_rle,
     "eng_typed_scan": eng_typed_scan,
     "eng_decimal_scan": eng_decimal_scan,
+    "eng_decimal128_scan": eng_decimal128_scan,
     "eng_datasource_scan": eng_datasource_scan,
     "eng_datasource_prune": eng_datasource_prune,
     "ops_dedup_exact": ops_dedup_exact,
@@ -1550,6 +1594,7 @@ ORACLES: dict[str, str] = {
     "eng_codec_bool_rle": ENG_BOOL_SQL,
     "eng_typed_scan": ENG_TYPED_SQL,
     "eng_decimal_scan": ENG_DECIMAL_SQL,
+    "eng_decimal128_scan": ENG_DECIMAL128_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "eng_datasource_prune": ENG_DATASOURCE_PRUNE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,

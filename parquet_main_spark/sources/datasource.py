@@ -158,6 +158,13 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str], strict_null: bool =
 
             _, s = decimal_params(lt)
             return int(decimal.Decimal(v).scaleb(s))
+        if lt.startswith("decimal128("):
+            import decimal
+
+            from ..functions.arrow import dec128_key, decimal128_params
+
+            _, s = decimal128_params(lt)
+            return dec128_key(int(decimal.Decimal(v).scaleb(s)))
         if lt in ("timestamp", "timestamp_ntz"):
             import datetime
 
