@@ -65,6 +65,10 @@ _PA_FROM_LOGICAL = {
 
 _DEC_RE = re.compile(r"^decimal64\((\d+),(\d+)\)$")
 _DEC128_RE = re.compile(r"^decimal128\((\d+),(\d+)\)$")
+_VEC_RE = re.compile(r"^vector\((float32|float64)\)$")
+
+_VEC_DTYPES = {"float32": (np.float32, pa.float32(), 4),
+               "float64": (np.float64, pa.float64(), 8)}
 
 
 def decimal_params(lt: str) -> tuple[int, int] | None:
@@ -77,6 +81,16 @@ def decimal128_params(lt: str) -> tuple[int, int] | None:
     return (int(m.group(1)), int(m.group(2))) if m else None
 
 
+def vector_params(lt: str) -> tuple[np.dtype, object, int] | None:
+    """vector(float32|float64) -> (numpy dtype, arrow value type, itemsize),
+    else None. Embedding columns (Spark array<float>/array<double>) are
+    stored as their raw little-endian element bytes riding the var-len
+    BINARY codec family — Arrow's list layout IS a (lengths, blob)
+    decomposition, exactly like strings."""
+    m = _VEC_RE.match(lt)
+    return _VEC_DTYPES[m.group(1)] if m else None
+
+
 def codec_type(lt: str) -> str:
     """Logical type as the CODECS see it: decimal64(p,s) is carried as its
     unscaled int64 (the reference stores decimals as fixed-width ints too,
@@ -87,7 +101,7 @@ def codec_type(lt: str) -> str:
     everything else maps to itself."""
     if lt.startswith("decimal64("):
         return "int64"
-    if lt.startswith("decimal128("):
+    if lt.startswith("decimal128(") or lt.startswith("vector("):
         return "binary"
     return lt
 
@@ -106,6 +120,9 @@ def spark_type(lt: str) -> str:
     p = decimal_params(lt) or decimal128_params(lt)
     if p:
         return f"decimal({p[0]},{p[1]})"
+    vp = vector_params(lt)
+    if vp:
+        return "array<float>" if vp[2] == 4 else "array<double>"
     return SPARK_FROM_LOGICAL[lt]
 
 
@@ -113,6 +130,9 @@ def pa_type(lt: str):
     p = decimal_params(lt) or decimal128_params(lt)
     if p:
         return pa.decimal128(*p)
+    vp = vector_params(lt)
+    if vp:
+        return pa.list_(vp[1])
     return _PA_FROM_LOGICAL[lt]
 
 
@@ -127,6 +147,18 @@ def logical_types(schema: T.StructType) -> dict[str, str]:
                 )
             out[f.name] = (f"decimal64({p},{s})" if p <= 18 else f"decimal128({p},{s})")
             continue
+        if isinstance(f.dataType, T.ArrayType):
+            et = f.dataType.elementType
+            if isinstance(et, T.FloatType):
+                out[f.name] = "vector(float32)"
+                continue
+            if isinstance(et, T.DoubleType):
+                out[f.name] = "vector(float64)"
+                continue
+            raise TypeError(
+                f"unsupported array element type {et.typeName()} for {f.name} "
+                "(vector columns support float/double elements)"
+            )
         name = f.dataType.typeName()
         if name not in LOGICAL_FROM_SPARK:
             raise TypeError(f"unsupported column type {name} for {f.name}")
@@ -168,6 +200,11 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
         vals = np.empty(len(arr), dtype=object)
         for i in range(len(arr)):  # edge-type fallback: bounded per block
             vals[i] = buf[i * 16 : (i + 1) * 16]
+    elif lt.startswith("vector("):
+        # each (non-null) vector as its raw element-bytes blob: object bytes,
+        # the same shape the binary codec family dedups/sorts/bounds on
+        b = vector_to_binary(arr, lt)  # arr already null-free here
+        vals = np.array(b.to_pylist(), dtype=object) if len(b) else np.empty(0, dtype=object)
     elif lt == "binary":
         vals = np.array(arr.to_pylist(), dtype=object) if len(arr) else np.empty(0, dtype=object)
     else:
@@ -177,8 +214,80 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
     return vals, mask
 
 
+def vector_to_binary(arr: pa.ChunkedArray | pa.Array, lt: str) -> pa.Array:
+    """list<float> column -> large_binary of each row's raw little-endian
+    element bytes, validity preserved — Arrow's list layout already IS the
+    (lengths, blob) decomposition the var-len codecs consume, so this is one
+    flatten + one contiguous buffer view, zero per-row Python. Element-level
+    nulls are rejected: a vector exists whole or is NULL."""
+    import pyarrow.compute as pc
+
+    np_dt, pa_vt, itemsize = vector_params(lt)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    mask = np.asarray(arr.is_valid()) if arr.null_count else None
+    flat = pc.list_flatten(arr)  # non-null rows' elements, row order
+    if flat.null_count:
+        raise TypeError(f"null element inside {lt} value")
+    if flat.type != pa_vt:
+        flat = flat.cast(pa_vt)
+    blob = memoryview(flat.buffers()[1])[
+        flat.offset * itemsize : (flat.offset + len(flat)) * itemsize
+    ]
+    lens = pc.list_value_length(arr)
+    if lens.null_count:
+        lens = lens.drop_null()
+    dense_lens = np.asarray(lens, dtype=np.int64) * itemsize
+    n = len(mask) if mask is not None else len(dense_lens)
+    full = dense_lens
+    if mask is not None:
+        full = np.zeros(n, dtype=np.int64)
+        full[mask] = dense_lens
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(full, out=offsets[1:])
+    vbuf = None if mask is None else pa.py_buffer(
+        np.packbits(mask, bitorder="little").tobytes()
+    )
+    return pa.Array.from_buffers(
+        pa.large_binary(), n,
+        [vbuf, pa.py_buffer(offsets.tobytes()), pa.py_buffer(blob)],
+        null_count=0 if mask is None else int(n - mask.sum()),
+    )
+
+
+def lb_to_vector(lengths: np.ndarray, blob, mask: np.ndarray | None, lt: str) -> pa.Array:
+    """(dense byte lengths, element blob) + optional notnull mask ->
+    list<float> Arrow array — the decode-side inverse of vector_to_binary
+    (nulls reinflate as empty slots under the validity bitmap)."""
+    np_dt, pa_vt, itemsize = vector_params(lt)
+    n = len(mask) if mask is not None else len(lengths)
+    full = np.asarray(lengths, dtype=np.int64)
+    if mask is not None:
+        dense = full
+        full = np.zeros(n, dtype=np.int64)
+        full[mask] = dense
+    elem_lens = full // itemsize
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(elem_lens, out=offsets[1:])
+    child = pa.Array.from_buffers(pa_vt, int(offsets[-1]), [None, pa.py_buffer(blob)])
+    vbuf = None if mask is None else pa.py_buffer(
+        np.packbits(mask, bitorder="little").tobytes()
+    )
+    arr = pa.Array.from_buffers(
+        pa.large_list(pa_vt), n, [vbuf, pa.py_buffer(offsets.tobytes())],
+        null_count=0 if mask is None else int(n - mask.sum()),
+        children=[child],
+    )
+    return arr.cast(pa.list_(pa_vt))
+
+
 def dense_to_arrow(values: np.ndarray, mask: np.ndarray | None, lt: str) -> pa.Array:
     """Reinflate nulls and convert to the Arrow type Spark expects."""
+    if vector_params(lt):
+        # object array of per-row element-bytes blobs (dict/fallback paths)
+        lengths = np.fromiter((len(v) for v in values), dtype=np.int64,
+                              count=len(values))
+        return lb_to_vector(lengths, b"".join(values), mask, lt)
     dp128 = decimal128_params(lt)
     if dp128:
         n = len(mask) if mask is not None else len(values)

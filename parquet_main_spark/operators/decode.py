@@ -40,9 +40,11 @@ from ..codecs import dict_codec, rle
 from ..functions.arrow import (
     codec_type,
     dense_to_arrow,
+    lb_to_vector as _lb_to_vector,
     pa_type as _arrow_pa_type,
     spark_type,
     unpack_validity,
+    vector_params as _vector_params,
 )
 from .encode import read_meta
 
@@ -614,12 +616,17 @@ def _decode_group(
         dict_blob = tbl.column("dict")[i].as_py()
         params = params_loads(tbl.column("params")[i].as_py())
         validity = unpack_validity(tbl.column("validity")[i].as_py(), n)
-        if codec in ("fsst", "plain", "prefix") and lt in VAR_TYPES:
+        vp = _vector_params(lt)
+        if codec in ("fsst", "plain", "prefix") and (lt in VAR_TYPES or vp):
             # var-len fast path: rebuild the Arrow array straight from
-            # (lengths, blob) — zero per-value Python objects
+            # (lengths, blob) — zero per-value Python objects; vectors
+            # reinflate to list<float> from the same decomposition
             lengths, blob = {"fsst": _fsst.decode_lb, "plain": _plain.decode_var_lb,
                              "prefix": _prefix.decode_lb}[codec](data)
-            arr = lb_to_arrow(lengths, blob, validity, binary=lt == "binary")
+            if vp:
+                arr = _lb_to_vector(lengths, blob, validity, lt)
+            else:
+                arr = lb_to_arrow(lengths, blob, validity, binary=lt == "binary")
         else:
             if codec in ("gdict", "bdict"):
                 from ..codecs import NARROW_INT
@@ -659,17 +666,25 @@ def _as_expr(predicate):
 
 
 def _normalize_expr(expr, logical: dict[str, str]):
-    """Convert leaf values for decimal128 columns from unscaled ints (or
-    decimal.Decimal) to the 16-byte order-preserving keys the binary codec
-    path compares. Idempotent: bytes pass through untouched."""
+    """Convert leaf values for binary-keyed columns to the byte keys the
+    codec path compares: decimal128 unscaled ints (or decimal.Decimal) ->
+    16-byte order-preserving keys; vector float lists/arrays -> their raw
+    element bytes (exact-vector equality/isin, e.g. embedding dedup probes).
+    Idempotent: bytes pass through untouched."""
     import decimal
 
-    from ..functions.arrow import dec128_key, decimal128_params
+    from ..functions.arrow import dec128_key, decimal128_params, vector_params
 
     def conv_one(col: str, v):
-        dp = decimal128_params(logical.get(col, ""))
-        if dp is None or v is None or isinstance(v, (bytes, bytearray)):
+        if v is None or isinstance(v, (bytes, bytearray)):
             return bytes(v) if isinstance(v, (bytes, bytearray)) else v
+        lt = logical.get(col, "")
+        vp = vector_params(lt)
+        if vp is not None and isinstance(v, (list, tuple, np.ndarray)):
+            return np.asarray(v, dtype=vp[0]).tobytes()
+        dp = decimal128_params(lt)
+        if dp is None:
+            return v
         if isinstance(v, decimal.Decimal):
             v = int(v.scaleb(dp[1]))
         return dec128_key(int(v))

@@ -466,6 +466,19 @@ def _encode_group(
     forced: frozenset[str] = frozenset(),
 ) -> pa.Table:
     from ..codecs import _DICT_KIND, FLOAT_TYPES
+    from ..functions.arrow import vector_params, vector_to_binary
+
+    # vector columns (array<float>) enter as Arrow lists; store them as their
+    # raw element bytes riding the var-len BINARY codec family — ONE flatten
+    # per bucket, then the whole encode path below sees a plain binary column
+    vec_cols = [c for c in tbl.column_names
+                if vector_params(logical.get(c, "")) and c != "_bucket"]
+    if vec_cols:
+        logical = dict(logical)
+        for c in vec_cols:
+            tbl = tbl.set_column(tbl.column_names.index(c), c,
+                                 vector_to_binary(tbl.column(c), logical[c]))
+            logical[c] = "binary"
     from ..codecs import dict_codec as _dc
 
     tbl = tbl.sort_by([(c, "ascending") for c in order_by])
@@ -812,7 +825,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         if cfg.global_dict_max_card > 0:
             cands = [
                 c for c, codec in plan.items()
-                if codec == "dict" and logical[c] != "binary" and c not in forced
+                if codec == "dict" and codec_type(logical[c]) != "binary" and c not in forced
                 and not logical[c].startswith("decimal")  # unscaled/keyed collect is bdict's job
                 and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
             ]

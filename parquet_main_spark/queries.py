@@ -724,6 +724,46 @@ WHERE big >= 50000
 """
 
 
+def eng_vector_scan(spark, sf_dir):
+    """EMBEDDING (vector) column coverage: array<float> round-trips through
+    the engine as raw element bytes on the var-len BINARY codec family
+    (Arrow's list layout IS the lengths+blob decomposition — the
+    DELTA_LENGTH_BYTE_ARRAY analog for vectors). The scan prunes on the
+    vec_id zone map; content is verified by an exact integer checksum over
+    every element (floor(x*1000) in double — IEEE-identical in Spark and
+    DuckDB, no float-sum nondeterminism)."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "embeddings", "vec_id")
+    rows = scan(spark, out, columns=["vec_id", "embedding"],
+                predicate=Predicate("vec_id", "between", (100, 399)))
+    per_row = rows.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.aggregate(
+            "embedding", F.lit(0).cast("long"),
+            lambda acc, x: acc + F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("chk"),
+    )
+    return per_row.groupBy("dim").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("chk").alias("sum_chk"),
+        F.min("vec_id").alias("min_id"),
+    )
+
+
+ENG_VECTOR_SQL = """
+SELECT CAST(len(embedding) AS BIGINT) AS dim,
+       count(*) AS n_vecs,
+       CAST(sum(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS sum_chk,
+       min(vec_id) AS min_id
+FROM embeddings
+WHERE vec_id BETWEEN 100 AND 399
+GROUP BY 1
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1546,6 +1586,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_typed_scan": eng_typed_scan,
     "eng_decimal_scan": eng_decimal_scan,
     "eng_decimal128_scan": eng_decimal128_scan,
+    "eng_vector_scan": eng_vector_scan,
     "eng_datasource_scan": eng_datasource_scan,
     "eng_datasource_prune": eng_datasource_prune,
     "ops_dedup_exact": ops_dedup_exact,
@@ -1595,6 +1636,7 @@ ORACLES: dict[str, str] = {
     "eng_typed_scan": ENG_TYPED_SQL,
     "eng_decimal_scan": ENG_DECIMAL_SQL,
     "eng_decimal128_scan": ENG_DECIMAL128_SQL,
+    "eng_vector_scan": ENG_VECTOR_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "eng_datasource_prune": ENG_DATASOURCE_PRUNE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,

@@ -149,6 +149,8 @@ def _filter_to_predicate(f: Filter, logical: dict[str, str], strict_null: bool =
     lt = logical.get(col)
     if lt is None:
         return None
+    if lt.startswith("vector(") and op not in ("isnull", "notnull"):
+        return None  # Catalyst array literals aren't comparable keys here
 
     def conv(v):
         if lt.startswith("decimal64("):

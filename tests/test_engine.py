@@ -804,3 +804,45 @@ def test_decimal128_roundtrip_and_pushdown(spark, tmp_path):
                  "big = CAST(1234567890123456.789 AS DECIMAL(38,4)) * 7 "
                  "      - CAST(3e18 AS DECIMAL(38,4))"):
         assert ds.filter(cond).count() == df.filter(cond).count(), cond
+
+
+def test_vector_column_roundtrip_and_predicates(spark, tmp_path):
+    """array<float>/array<double> columns (embeddings) ride the var-len
+    BINARY codec family as raw element bytes: exact round-trip incl. NULL
+    rows and ragged lengths, null-aware predicates, and exact-vector
+    equality/isin keys (a float list normalizes to its byte key) — the
+    multimodal/embedding analog of the reference's BYTE_ARRAY paths."""
+    import numpy as np
+
+    from parquet_main_spark.operators.decode import scan_count
+
+    df = spark.sql(
+        "SELECT id AS k, "
+        "CASE WHEN id % 7 = 0 THEN NULL ELSE "
+        "  transform(sequence(0, CAST(id % 5 AS INT) + 2), "
+        "            i -> CAST(i * 0.5 + id AS FLOAT)) END AS emb32, "
+        "transform(sequence(0, 3), i -> CAST(i + id * 0.25 AS DOUBLE)) AS emb64 "
+        "FROM range(500)"
+    )
+    out = str(tmp_path / "vec")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=64, snapshot_id="t1"))
+    got = _sorted_pdf(scan(spark, out), order="k")
+    want = _sorted_pdf(df, order="k")[got.columns.tolist()]
+    assert len(got) == len(want)
+    for c in ("emb32", "emb64"):
+        for a, b in zip(got[c], want[c]):
+            if b is None or (isinstance(b, float) and pd.isna(b)):
+                assert a is None or (isinstance(a, float) and pd.isna(a))
+            else:
+                assert np.array_equal(np.asarray(a), np.asarray(b)), c
+
+    # null-aware predicates answered from the validity bitmap
+    assert scan_count(spark, out, Predicate("emb32", "isnull", None)) == \
+        df.filter("emb32 IS NULL").count()
+    # exact-vector equality: the float list is normalized to its byte key
+    # (k=43: not a multiple of 7, so the row is non-NULL)
+    probe = [i * 0.5 + 43 for i in range(0, (43 % 5) + 3)]
+    assert scan_count(spark, out, Predicate("emb32", "=", probe)) == 1
+    assert scan_count(spark, out, Predicate("emb32", "isin",
+                                            [probe, [1.0, 2.0]])) == 1
