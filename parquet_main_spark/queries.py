@@ -1554,6 +1554,68 @@ FROM documents
 """
 
 
+def ops_frame_sample(spark, sf_dir):
+    """Video-style frame sampling: each blob = concatenated fixed-size
+    frames; emit every 4th complete 256-byte frame as its own row. One
+    mapInArrow pass per batch — frame counts from the Arrow offsets, one
+    np.repeat for keys, ONE fancy-index gather for all sampled bytes; no
+    shuffle, no per-frame Python (operators/multimodal.py:sample_frames)."""
+    from .operators.multimodal import sample_frames
+
+    # ASCII docs only so the DuckDB oracle (whose substring is
+    # character-based and has no BLOB slicing) can mirror the BYTE-level
+    # frames the operator cuts; the operator itself always works on bytes
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.octet_length("text") == F.length("text"))
+        .select("doc_id", F.col("text").cast("binary").alias("blob"))
+    )
+    frames = sample_frames(d, frame_bytes=256, every_n=4,
+                           blob_col="blob", key_col="doc_id")
+    return frames.select(
+        F.col("media_id").alias("doc_id"), "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
+OPS_FRAMES_SQL = """
+WITH f AS (
+  SELECT doc_id, text, length(text) // 256 AS nf
+  FROM documents
+  WHERE octet_length(CAST(text AS BLOB)) = length(text)
+)
+SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+       md5(substring(text, CAST(i AS INT) * 256 + 1, 256)) AS frame_md5
+FROM f, unnest(range(0, nf, 4)) AS t(i)
+"""
+
+
+def ops_image_pipeline(spark, sf_dir):
+    """Image pipeline plumbing: deterministic fake-image corpus -> decode
+    (stubbed codec, real vectorized header/payload parse) -> nearest-neighbor
+    resize -> brightness features, aggregated per source dimension. Each
+    stage is one mapInArrow pass. The pixel content is seeded randomness, so
+    there is no SQL oracle — the driver records the rows-only check (the
+    pytest suite verifies every stage against per-row numpy oracles,
+    tests/test_multimodal.py)."""
+    from .operators.multimodal import (
+        decode_images, image_features, resize_images, synth_image_blobs,
+    )
+
+    decoded = decode_images(synth_image_blobs(spark, 2000, partitions=8))
+    feats = image_features(resize_images(decoded, 8, 8))
+    joined = decoded.select("media_id", "width", "height").join(
+        feats, "media_id"
+    )
+    return (
+        joined.groupBy("width", "height")
+        .agg(F.count("*").alias("n_images"),
+             F.round(F.avg("mean_px"), 4).alias("avg_brightness"),
+             F.round(F.avg("std_px"), 4).alias("avg_contrast"))
+        .orderBy("width", "height")
+    )
+
+
 # --------------------------------------------------------------------------
 # registry
 
@@ -1605,6 +1667,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ops_ivf_clusters": ops_ivf_clusters,
     "ops_ivf_topk": ops_ivf_topk,
     "ops_blob_meta": ops_blob_meta,
+    "ops_frame_sample": ops_frame_sample,
+    "ops_image_pipeline": ops_image_pipeline,
 }
 
 ORACLES: dict[str, str] = {
@@ -1655,4 +1719,5 @@ ORACLES: dict[str, str] = {
     "ops_ivf_clusters": OPS_IVF_CLUSTERS_SQL,
     "ops_ivf_topk": OPS_IVF_TOPK_SQL,
     "ops_blob_meta": OPS_BLOB_SQL,
+    "ops_frame_sample": OPS_FRAMES_SQL,
 }

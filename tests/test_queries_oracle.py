@@ -71,6 +71,11 @@ def test_query_matches_oracle(spark, duck, contract, name):
     sdf = qs[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
+    if name not in os_:
+        # non-SQL-expressible op: the driver records the weaker rows-only
+        # check; locally we at least require a non-empty, schema-stable result
+        assert len(srows) > 0 and len(scols) > 0, f"{name}: vacuous rows-only query"
+        return
     res = duck.execute(os_[name])
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
