@@ -196,10 +196,16 @@ def arrow_to_dense(arr: pa.ChunkedArray | pa.Array, lt: str) -> tuple[np.ndarray
         be = np.empty((len(arr), 2), dtype=">u8")
         be[:, 0] = raw[1::2] ^ np.uint64(1 << 63)  # high word, sign flipped
         be[:, 1] = raw[::2]
-        buf = be.tobytes()
-        vals = np.empty(len(arr), dtype=object)
-        for i in range(len(arr)):  # edge-type fallback: bounded per block
-            vals[i] = buf[i * 16 : (i + 1) * 16]
+        # materialize the 16-byte keys as object bytes WITHOUT a Python
+        # loop: view the packed buffer as a fixed-stride binary array and
+        # let Arrow's C path cut it up
+        off16 = np.arange(len(arr) + 1, dtype=np.int64) * 16
+        keys = pa.Array.from_buffers(
+            pa.large_binary(), len(arr),
+            [None, pa.py_buffer(off16.tobytes()), pa.py_buffer(be.tobytes())],
+        )
+        vals = np.array(keys.to_pylist(), dtype=object) if len(arr) else \
+            np.empty(0, dtype=object)
     elif lt.startswith("vector("):
         # each (non-null) vector as its raw element-bytes blob: object bytes,
         # the same shape the binary codec family dedups/sorts/bounds on

@@ -158,4 +158,13 @@ def choose_codec(st: dict[str, Any]) -> str:
     if "dict" in est and st.get("card", 0) > 0.5 * st["n"]:
         del est["dict"]  # dictionary can't pay: nearly all values distinct
     order = {c: i for i, c in enumerate(APPLICABLE[st["type"]])}
-    return min(est.items(), key=lambda kv: (kv[1], order[kv[0]]))[0]
+    best = min(est.items(), key=lambda kv: (kv[1], order[kv[0]]))[0]
+    # hysteresis on var-len data (100-TB rule): a codec that saves under 5%
+    # of the bytes still pays its full encode+decode CPU on every block —
+    # e.g. fsst/prefix eking ~1% out of embedding float bytes via shared
+    # exponent prefixes. Marginal wins go to plain (whose var-len blobs get
+    # the block-level zstd wrap anyway).
+    if (st["type"] in VAR_TYPES and best != "plain" and "plain" in est
+            and est[best] > 0.95 * est["plain"]):
+        return "plain"
+    return best
