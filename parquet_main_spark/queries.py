@@ -764,6 +764,57 @@ GROUP BY 1
 """
 
 
+def eng_ann_cosine(spark, sf_dir):
+    """ANN over the ENGINE's format: the embeddings table is encoded into
+    the columnar format (vector column = raw element bytes on the binary
+    family) and the cosine top-10 runs on scan() output — the zone map
+    prunes the vec_id range BEFORE any vector blob is decoded, which is the
+    100-TB shape: filter first on cheap stats, decode vectors only for
+    surviving blocks. Same math as ops_cosine_topk, engine-backed source."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "embeddings", "vec_id")
+    e = scan(spark, out, columns=["vec_id", "embedding", "label"],
+             predicate=Predicate("vec_id", "<", 400))
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qemb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(F.col(c), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label",
+                F.round(dot / (norm("embedding") * norm("qemb")), 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+ENG_ANN_SQL = """
+WITH q AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0),
+p AS (
+  SELECT e.vec_id, e.label,
+         CAST(unnest(e.embedding) AS DOUBLE) AS x,
+         CAST(unnest(q.qemb) AS DOUBLE)      AS y
+  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id < 400
+)
+SELECT vec_id, label,
+       round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 4) AS cosine
+FROM p GROUP BY vec_id, label
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1649,6 +1700,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_decimal_scan": eng_decimal_scan,
     "eng_decimal128_scan": eng_decimal128_scan,
     "eng_vector_scan": eng_vector_scan,
+    "eng_ann_cosine": eng_ann_cosine,
     "eng_datasource_scan": eng_datasource_scan,
     "eng_datasource_prune": eng_datasource_prune,
     "ops_dedup_exact": ops_dedup_exact,
@@ -1701,6 +1753,7 @@ ORACLES: dict[str, str] = {
     "eng_decimal_scan": ENG_DECIMAL_SQL,
     "eng_decimal128_scan": ENG_DECIMAL128_SQL,
     "eng_vector_scan": ENG_VECTOR_SQL,
+    "eng_ann_cosine": ENG_ANN_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "eng_datasource_prune": ENG_DATASOURCE_PRUNE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
