@@ -1,0 +1,98 @@
+"""Watermarked streaming window rollups encoded into the columnar format.
+
+The hypertable-rollup analog for a continuously-ingested event stream: a
+Structured Streaming query aggregates tumbling event-time windows, the
+watermark finalizes windows once late data can no longer arrive, and each
+micro-batch of FINALIZED windows is encoded into its own
+``out_root/batch=N`` directory through the ordinary
+:func:`~parquet_main_spark.operators.encode.encode_table` — so rollups get
+the same zone maps, dictionaries, resume-idempotence and `scan_batches`
+read path as raw ingests (streaming/ingest.py).
+
+Scale shape: the windowed aggregation is Spark's own stateful operator
+(partial aggregation map-side, state store keyed by (window, groups) —
+no collect, no custom Python state); the encode stage adds one bucket
+shuffle per micro-batch. Append output mode means each window is emitted
+EXACTLY once, after the watermark passes its end — batch dirs never need
+in-place updates, which is what makes the columnar sink viable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from ..operators.encode import EncodeConfig, encode_table
+from .ingest import _batch_dir, list_batches
+
+
+def rollup_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_root: str,
+    cfg: EncodeConfig,
+    checkpoint_dir: str,
+    *,
+    ts_col: str,
+    window_duration: str,
+    watermark_delay: str,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    available_now: bool = True,
+):
+    """Run (and by default drain) a watermarked tumbling-window rollup.
+
+    ``aggs`` maps output column name -> aggregate Column (built from
+    pyspark.sql.functions, e.g. ``{"n": F.count("*")}``). The encoded rollup
+    table has columns ``window_start, window_end, *group_cols, *aggs`` —
+    ``cfg.bucket_key`` must name one of them (window_start is the natural
+    time-partitioned choice). Windows are appended only once final (append
+    output mode + watermark), so replays of a micro-batch hit
+    ``encode_table``'s idempotent resume exactly like raw ingestion."""
+    agg_cols = [c.alias(name) for name, c in aggs.items()]
+    win = (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .agg(*agg_cols)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_cols,
+            *aggs.keys(),
+        )
+    )
+
+    state: dict[str, object] = {"plan": None}
+    batches = list_batches(out_root)
+    if batches:
+        try:
+            from ..operators.encode import read_meta
+
+            state["plan"] = read_meta(spark, _batch_dir(out_root, batches[0]))["plan"]
+        except Exception:
+            pass
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return  # no window finalized this batch: nothing to encode
+        bcfg = replace(
+            cfg,
+            out_dir=_batch_dir(out_root, batch_id),
+            snapshot_id=f"{cfg.snapshot_id}-b{batch_id}",
+            global_dict_max_card=0,
+        )
+        res = encode_table(batch_df.sparkSession, batch_df, bcfg, plan=state["plan"])
+        if state["plan"] is None:
+            state["plan"] = res.plan
+
+    writer = (
+        win.writeStream.outputMode("append")
+        .foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()

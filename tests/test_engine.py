@@ -846,3 +846,23 @@ def test_vector_column_roundtrip_and_predicates(spark, tmp_path):
     assert scan_count(spark, out, Predicate("emb32", "=", probe)) == 1
     assert scan_count(spark, out, Predicate("emb32", "isin",
                                             [probe, [1.0, 2.0]])) == 1
+
+
+def test_datasource_reads_vector_columns(spark, tmp_path):
+    """spark.read.format('pms_encoded') reinflates vector columns to
+    array<float> and still pushes scalar filters down around them."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    df = spark.sql(
+        "SELECT id AS k, transform(sequence(0, 3), i -> CAST(i + id AS FLOAT)) AS v "
+        "FROM range(300)"
+    )
+    out = str(tmp_path / "dsvec")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=64, snapshot_id="t1"))
+    ds = spark.read.format(FORMAT_NAME).load(out)
+    assert ds.schema["v"].dataType.simpleString() == "array<float>"
+    assert ds.filter("k BETWEEN 10 AND 19").count() == 10
+    got = ds.filter("k = 42").select("v").collect()[0][0]
+    assert [float(x) for x in got] == [42.0, 43.0, 44.0, 45.0]

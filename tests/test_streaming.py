@@ -142,3 +142,58 @@ def test_streaming_cross_batch_dedup(spark, tmp_path):
     # every url exactly once, despite the re-delivered duplicates
     assert got.count() == full.count()
     assert got.distinct().count() == full.count()
+
+
+def test_windowed_rollup_stream(spark, tmp_path):
+    """Watermarked tumbling-window rollup -> encoded batch dirs: wave 1
+    finalizes only windows older than (max_ts - watermark); wave 2 advances
+    the watermark and emits the rest. Every emitted window's aggregates
+    match the batch groupBy oracle, and no window is emitted twice."""
+    from parquet_main_spark.streaming.rollup import rollup_stream
+
+    src = str(tmp_path / "ev_src")
+    out_root = str(tmp_path / "roll_root")
+    ckpt = str(tmp_path / "roll_ckpt")
+
+    # 600 events over 10 minutes, 2 event types
+    ev = spark.sql(
+        "SELECT timestamp'2024-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts, "
+        "CASE WHEN id % 3 = 0 THEN 'click' ELSE 'view' END AS etype, "
+        "CAST(id % 7 AS DOUBLE) AS amount FROM range(600)"
+    )
+    wave1 = ev.filter("ts < timestamp'2024-03-01 00:06:00'")
+    wave2 = ev.filter("ts >= timestamp'2024-03-01 00:06:00'")
+
+    cfg = EncodeConfig(out_dir="ignored", bucket_key="etype", buckets=2,
+                       block_size=64, snapshot_id="r")
+    kw = dict(ts_col="ts", window_duration="1 minute", watermark_delay="2 minutes",
+              group_cols=["etype"],
+              aggs={"n": F.count("*"), "total": F.sum("amount")})
+
+    wave1.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    rollup_stream(spark, stream, out_root, cfg, ckpt, **kw)
+    got1 = scan_batches(spark, out_root).toPandas()
+    # wave-1 watermark = 00:05:59 - 2min -> windows ending <= 00:03:59 final
+    assert set(got1["window_end"].map(lambda t: t.minute)) == {1, 2, 3}
+
+    wave2.write.mode("append").parquet(src)
+    rollup_stream(spark, stream, out_root, cfg, ckpt, **kw)
+    got = scan_batches(spark, out_root).toPandas()
+
+    # final watermark = 00:09:59 - 2min = 00:07:59: a window is final once
+    # the watermark passes its END, so ends 00:01..00:07 are emitted and
+    # [00:07:00, 00:08:00) is still open
+    want = (
+        ev.groupBy(F.window("ts", "1 minute"), "etype")
+        .agg(F.count("*").alias("n"), F.sum("amount").alias("total"))
+        .select(F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"), "etype", "n", "total")
+        .filter(F.col("window_end") < F.lit("2024-03-01 00:08:00").cast("timestamp"))
+        .toPandas()
+    )
+    key = ["window_start", "etype"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(g, w)
+    assert not g.duplicated(subset=key).any()  # exactly-once per window
