@@ -815,6 +815,69 @@ LIMIT 10
 """
 
 
+def eng_stream_rollup(spark, sf_dir):
+    """STREAMING coverage gate: the events table replayed as a file-source
+    stream -> watermarked 1-day tumbling windows (append mode: a window is
+    emitted exactly once, after the 12h watermark passes its end) -> each
+    micro-batch of finalized windows ENCODED into its own batch dir ->
+    scan_batches reads the rollup back from the columnar format. The DuckDB
+    oracle recomputes the same finalized-window set from the batch table
+    (cutoff = max(ts) - 12h), so watermark semantics, the stateful window
+    operator AND the encode/scan round-trip are all under the hash check."""
+    import tempfile
+    import uuid
+
+    from .operators.encode import EncodeConfig
+    from .streaming.ingest import scan_batches
+    from .streaming.rollup import rollup_stream
+
+    import os
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix=f"pms_rollup_{uuid.uuid4().hex[:8]}_")
+    cfg = EncodeConfig(out_dir="ignored", bucket_key="event_type", buckets=2,
+                       block_size=256, snapshot_id="rollup")
+    # the file stream source needs a DIRECTORY; expose the single parquet
+    # file through a symlink dir
+    src = f"{base}/src"
+    os.makedirs(src)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), f"{src}/events.parquet")
+    # ts is TIMESTAMP_NTZ; the watermark operator needs TIMESTAMP. Convert
+    # via epoch-micros arithmetic (timestampdiff on NTZ is session-tz-proof,
+    # unlike a cast), so the UTC wall-clock equals the NTZ wall-clock and
+    # day windows align with DuckDB's naive time_bucket under ANY session tz
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        .select(
+            F.expr("timestamp_micros(timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))").alias("wts"),
+            "event_type", "value",
+        )
+    )
+    rollup_stream(
+        spark, stream, f"{base}/out", cfg, f"{base}/ckpt",
+        ts_col="wts", window_duration="1 day", watermark_delay="12 hours",
+        group_cols=["event_type"],
+        aggs={"n": F.count("*"), "total": F.round(F.sum("value"), 2)},
+    )
+    back = scan_batches(spark, f"{base}/out")
+    to_ntz = lambda c: F.expr(  # noqa: E731 - inverse of the cast above
+        f"timestampadd(MICROSECOND, unix_micros({c}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias(c)
+    return back.select(to_ntz("window_start"), to_ntz("window_end"),
+                       "event_type", "n", "total")
+
+
+ENG_ROLLUP_SQL = """
+WITH cut AS (SELECT max(ts) - INTERVAL 12 HOUR AS wm FROM events),
+b AS (SELECT time_bucket(INTERVAL 1 DAY, ts) AS ws, event_type, value FROM events)
+SELECT ws AS window_start, ws + INTERVAL 1 DAY AS window_end, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM b, cut WHERE ws + INTERVAL 1 DAY <= wm
+GROUP BY 1, 2, 3
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1701,6 +1764,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_decimal128_scan": eng_decimal128_scan,
     "eng_vector_scan": eng_vector_scan,
     "eng_ann_cosine": eng_ann_cosine,
+    "eng_stream_rollup": eng_stream_rollup,
     "eng_datasource_scan": eng_datasource_scan,
     "eng_datasource_prune": eng_datasource_prune,
     "ops_dedup_exact": ops_dedup_exact,
@@ -1754,6 +1818,7 @@ ORACLES: dict[str, str] = {
     "eng_decimal128_scan": ENG_DECIMAL128_SQL,
     "eng_vector_scan": ENG_VECTOR_SQL,
     "eng_ann_cosine": ENG_ANN_SQL,
+    "eng_stream_rollup": ENG_ROLLUP_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "eng_datasource_prune": ENG_DATASOURCE_PRUNE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,
