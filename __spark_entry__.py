@@ -37,7 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every query (all are SQL-expressible)."""
+    """DuckDB-equivalent SQL per query. Every query has an oracle except
+    ops_image_pipeline (its pixel content is seeded randomness with no SQL
+    analog — the driver records the rows-only check; its stage math is
+    numpy-oracled in tests/test_multimodal.py)."""
     from parquet_main_spark.queries import ORACLES
 
     return dict(ORACLES)

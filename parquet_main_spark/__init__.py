@@ -42,4 +42,17 @@ def __getattr__(name):
         from .sources.datasource import register
 
         return register
+    if name in ("encode_stream", "scan_batches", "compact_batches", "list_batches"):
+        from .streaming import ingest as _i
+
+        return getattr(_i, name)
+    if name == "rollup_stream":
+        from .streaming.rollup import rollup_stream
+
+        return rollup_stream
+    if name in ("decode_images", "resize_images", "image_features",
+                "sample_frames", "audio_meta"):
+        from .operators import multimodal as _m
+
+        return getattr(_m, name)
     raise AttributeError(name)
