@@ -96,6 +96,12 @@ def column_sample_stats(values: np.ndarray, logical_type: str,
         )
         return st
     v = np.ascontiguousarray(values, dtype=np.float64 if logical_type in ("float32", "float64") else np.int64)
+    if assume_sorted:
+        # the encoder sorts every bucket by the order_by keys, so THOSE
+        # columns' run/delta stats must be measured on sorted values —
+        # unsorted arrival made sequential ids look delta-hostile (round-3
+        # stress: vec_id picked rle at ~3x the bytes of delta)
+        v = np.sort(v)
     uniq = np.unique(v)
     runs = 1 + int((v[1:] != v[:-1]).sum())
     st.update(card=len(uniq), avg_run=n / runs, raw_bytes=v.nbytes)

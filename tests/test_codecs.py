@@ -252,3 +252,24 @@ def test_plain_var_zstd_wrap_roundtrip():
 
     empty = np.array([], dtype=object)
     assert len(plain.decode_var(plain.encode_var(empty))) == 0
+
+
+def test_selector_sorted_key_stats_pick_delta():
+    """Order-by key columns are bucket-SORTED by the encoder, so their
+    run/delta sample stats must be measured on sorted values: a sequential
+    unique id arriving shuffled (round-robin repartition order) still
+    selects delta, not a wide-literal rle (round-3 stress regression)."""
+    import numpy as np
+
+    from parquet_main_spark.plans.selector import choose_codec, column_sample_stats
+
+    rng = np.random.default_rng(7)
+    ids = np.arange(100_000, 108_192)
+    shuffled = rng.permutation(ids)
+    st = column_sample_stats(shuffled, "int64", assume_sorted=True)
+    assert st["sorted_frac"] == 1.0 and st["delta_bits"] <= 2
+    assert choose_codec(st) == "delta"
+    # a non-key column with the same arrival order keeps the unsorted view
+    st2 = column_sample_stats(shuffled, "int64", assume_sorted=False)
+    assert st2["sorted_frac"] < 0.9
+    assert choose_codec(st2) != "delta"
