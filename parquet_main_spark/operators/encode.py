@@ -36,6 +36,7 @@ import pyarrow.compute as pc
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..codecs import APPLICABLE, INT_TYPES, encode_block, params_dumps
+from ..codecs.bitpack import bit_width
 from ..functions.arrow import (
     arrow_to_dense,
     canonical_sha,
@@ -99,7 +100,7 @@ class EncodeResult:
 # ---------------------------------------------------------------- stats pass
 
 def _stats_fn(logical: dict[str, str], sorted_cols: frozenset[str],
-              chosen: frozenset[int] | None,
+              chosen: frozenset[int] | None, delta_guard_bits: int,
               it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     # stratified sample: only the `chosen` partitions contribute (evenly
     # spread over the partition index space, so a time-partitioned corpus is
@@ -130,7 +131,8 @@ def _stats_fn(logical: dict[str, str], sorted_cols: frozenset[str],
         if col not in tbl.column_names:
             continue
         vals, _ = arrow_to_dense(tbl.column(col), lt)
-        st = column_sample_stats(vals, codec_type(lt), assume_sorted=col in sorted_cols)
+        st = column_sample_stats(vals, codec_type(lt), assume_sorted=col in sorted_cols,
+                                 delta_guard_bits=delta_guard_bits)
         rows_col.append(col)
         rows_js.append(json.dumps(st))
     yield pa.RecordBatch.from_pydict({"col": rows_col, "stats": rows_js})
@@ -186,7 +188,8 @@ def sample_plan(df: DataFrame, cfg: EncodeConfig) -> tuple[dict[str, str], dict[
         offset = int(rng.integers(0, nparts))
         chosen = frozenset((offset + (i * nparts) // 8) % nparts for i in range(8))
     stats_df = df.mapInArrow(
-        partial(_stats_fn, logical, sorted_cols, chosen), STATS_SCHEMA
+        partial(_stats_fn, logical, sorted_cols, chosen,
+                bit_width(max(cfg.buckets - 1, 1))), STATS_SCHEMA
     )
     by_col: dict[str, list[dict]] = {}
     for row in stats_df.collect():
@@ -678,6 +681,11 @@ def _encode_group(
             if lt in ("string", "binary"):
                 nbytes = pc.sum(pc.binary_length(arr)).as_py() or 0
                 raw = int(nbytes) + 4 * len(vals)
+            elif ct in _VT:
+                # keyed var-len (decimal128 16-byte keys): object bytes —
+                # pointer nbytes would under-report raw ~2.5x and skew the
+                # enc<raw acceptance toward rejecting real compression
+                raw = int(sum(len(x) for x in vals)) + 4 * len(vals)
             else:
                 raw = int(np.ascontiguousarray(vals).nbytes)
             bdict = bucket_dicts.get(col)

@@ -136,25 +136,21 @@ def decode_images(df: DataFrame, blob_col: str = "blob", key_col: str = "media_i
                   allow_fake: bool = True) -> DataFrame:
     """Opaque blobs -> (width, height, channels, raw pixel buffer).
 
-    Uses the real decoder when PIL is importable; otherwise parses the
-    documented fake header (allow_fake=True, the test/bench path) or raises
-    NotImplementedError. One mapInArrow pass, header fields parsed
-    vectorized from the flat byte buffer."""
-    real = _real_image_decoder()
+    The real-codec path is STUBBED (PIL is not wired even where importable);
+    with ``allow_fake=True`` (the test/bench path) the documented fake
+    header is parsed instead, otherwise NotImplementedError. One mapInArrow
+    pass, header fields parsed vectorized from the flat byte buffer."""
+    if not allow_fake:
+        real = "importable" if _real_image_decoder() is not None else "not installed"
+        raise NotImplementedError(
+            f"real image decoding is not wired (PIL {real}); pass "
+            "allow_fake=True to parse the deterministic fake format"
+        )
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             keys = batch.column(key_col)
             off, flat, mask = _blob_np(batch.column(blob_col))
-            if real is not None:  # pragma: no cover - real codec path
-                raise NotImplementedError(
-                    "real PIL decode not wired in this environment"
-                )
-            if not allow_fake:
-                raise NotImplementedError(
-                    "image decoding requires PIL (not installed); pass "
-                    "allow_fake=True to parse the deterministic fake format"
-                )
             lens = np.diff(off)
             starts = off[:-1]
             ok = lens >= _IMG_HDR
@@ -272,6 +268,7 @@ def sample_frames(df: DataFrame, frame_bytes: int, every_n: int,
     frame bytes — no per-frame Python, no shuffle."""
     if frame_bytes <= 0 or every_n <= 0:
         raise ValueError("frame_bytes and every_n must be positive")
+    key_ddl = df.schema[key_col].dataType.simpleString()  # key type passes through
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
@@ -296,13 +293,13 @@ def sample_frames(df: DataFrame, frame_bytes: int, every_n: int,
                 flat_out = np.empty(0, dtype=np.uint8)
             pout = np.arange(total + 1, dtype=np.int64) * frame_bytes
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out_keys, type=pa.int64()),
+                [pa.array(out_keys, type=batch.column(key_col).type),
                  pa.array(frame_idx, type=pa.int64()),
                  _bin_from_parts(pout, flat_out)],
                 ["media_id", "frame_idx", "frame"],
             )
 
-    return df.mapInArrow(run, "media_id bigint, frame_idx bigint, frame binary")
+    return df.mapInArrow(run, f"media_id {key_ddl}, frame_idx bigint, frame binary")
 
 
 # ------------------------------------------------------------------- audio

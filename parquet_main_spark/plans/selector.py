@@ -49,7 +49,8 @@ def kmv_estimate(sketches: list[list[int]]) -> int:
 
 
 def column_sample_stats(values: np.ndarray, logical_type: str,
-                        assume_sorted: bool = False) -> dict[str, Any]:
+                        assume_sorted: bool = False,
+                        delta_guard_bits: int = 0) -> dict[str, Any]:
     """Stats over a dense (non-null) sample of one column — one vectorized
     pass (the reference's scanIntBitLength analog, generalized).
 
@@ -113,6 +114,12 @@ def column_sample_stats(values: np.ndarray, logical_type: str,
             d = np.diff(vi)
             st["sorted_frac"] = float((d >= 0).mean())
             st["delta_bits"] = bit_width(int(np.abs(d).max()) * 2)
+            if assume_sorted:
+                # the sample is GLOBALLY sorted but the encoder sorts per
+                # HASH BUCKET, where consecutive deltas are ~buckets x
+                # larger — widen by log2(buckets) so delta isn't selected
+                # off an underestimate
+                st["delta_bits"] = min(64, st["delta_bits"] + delta_guard_bits)
         else:
             st["sorted_frac"], st["delta_bits"] = 1.0, 0
     return st

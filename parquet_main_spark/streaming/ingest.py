@@ -47,6 +47,43 @@ def _seen_keys_dir(out_root: str) -> str:
     return f"{out_root}/_seen_keys"
 
 
+def batch_encoder(spark: SparkSession, out_root: str, cfg: EncodeConfig):
+    """Shared foreachBatch encode core (used by encode_stream and
+    rollup_stream): pins the codec plan from the FIRST batch — including
+    across restarts, via batch-0's meta — and encodes each micro-batch into
+    its own ``out_root/batch=N`` dir with bucket-local dictionaries."""
+    state: dict[str, object] = {"plan": None}
+    batches = list_batches(out_root)
+    if batches:
+        try:
+            state["plan"] = read_meta(spark, _batch_dir(out_root, batches[0]))["plan"]
+        except Exception:
+            pass  # unreadable prior meta: first successful batch re-pins
+
+    def encode_batch(batch_df: DataFrame, batch_id: int):
+        bcfg = replace(
+            cfg,
+            out_dir=_batch_dir(out_root, batch_id),
+            snapshot_id=f"{cfg.snapshot_id}-b{batch_id}",
+            global_dict_max_card=0,  # batch dirs stay self-contained
+        )
+        res = encode_table(batch_df.sparkSession, batch_df, bcfg, plan=state["plan"])
+        if state["plan"] is None:
+            state["plan"] = res.plan
+        return res
+
+    return encode_batch
+
+
+def run_stream(writer, available_now: bool):
+    """Start a foreachBatch writer; with available_now, drain and block."""
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return None
+    return writer.start()
+
+
 def encode_stream(spark: SparkSession, stream_df: DataFrame, out_root: str,
                   cfg: EncodeConfig, checkpoint_dir: str, available_now: bool = True,
                   dedup_keys: list[str] | None = None):
@@ -61,56 +98,53 @@ def encode_stream(spark: SparkSession, stream_df: DataFrame, out_root: str,
     corpus — rows whose key(s) already landed in an earlier micro-batch are
     dropped before encoding (first occurrence wins; within a batch,
     dropDuplicates keeps one row per key). State is a compact parquet table
-    of xxhash64 key digests under ``out_root/_seen_keys``, partitioned by
-    batch: a broadcast-or-shuffle ANTI-JOIN per batch — no driver-side set,
-    no growth limit beyond the key count itself. Exactly-once: the seen-keys
+    of 128-bit key digests (TWO independent xxhash64 lanes — a single
+    64-bit hash collides at birthday scale ~10^9 keys, exactly the corpus
+    size this targets) under ``out_root/_seen_keys``, partitioned by batch:
+    a broadcast-or-shuffle ANTI-JOIN per batch — no driver-side set, no
+    growth limit beyond the key count itself. Exactly-once: the seen-keys
     partition for batch N is written AFTER batch N encodes, and a replayed
     batch anti-joins only the PRIOR batches' keys (its own partition is
     idempotently overwritten)."""
-    state: dict[str, object] = {"plan": None}
-    batches = list_batches(out_root)
-    if batches:
-        # restart: pin the plan the stream started with
-        try:
-            state["plan"] = read_meta(spark, _batch_dir(out_root, batches[0]))["plan"]
-        except Exception:
-            pass
+    encode_batch = batch_encoder(spark, out_root, cfg)
+
+    def _keys(df: DataFrame):
+        from pyspark.sql import functions as F
+
+        # two independent 64-bit lanes => effectively 128-bit digests
+        cols = [F.col(c) for c in dedup_keys]
+        return (F.xxhash64(*cols).alias("k1"),
+                F.xxhash64(F.lit("pms-dedup-lane2"), *cols).alias("k2"))
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         if dedup_keys:
             from pyspark.sql import functions as F
+            from pyspark.errors import AnalysisException
 
-            key = F.xxhash64(*[F.col(c) for c in dedup_keys])
             batch_df = batch_df.dropDuplicates(dedup_keys)
             seen_root = _seen_keys_dir(out_root)
             try:
                 # batch=N partition dirs; exclude our own (replay idempotence)
                 seen = (sess.read.parquet(seen_root)
-                        .filter(F.col("batch") != batch_id).select("k"))
-            except Exception:
-                seen = None  # first batch: no state yet
+                        .filter(F.col("batch") != batch_id).select("k1", "k2"))
+            except AnalysisException:
+                # path-not-found = genuine first batch; anything else must
+                # SURFACE — silently skipping the anti-join would re-encode
+                # every previously-seen key as a duplicate
+                seen = None
             if seen is not None:
+                k1, k2 = _keys(batch_df)
                 batch_df = (
-                    batch_df.withColumn("_k", key)
-                    .join(seen.withColumnRenamed("k", "_k"), "_k", "left_anti")
-                    .drop("_k")
+                    batch_df.withColumns({"k1": k1, "k2": k2})
+                    .join(seen, ["k1", "k2"], "left_anti")
+                    .drop("k1", "k2")
                 )
-        bcfg = replace(
-            cfg,
-            out_dir=_batch_dir(out_root, batch_id),
-            snapshot_id=f"{cfg.snapshot_id}-b{batch_id}",
-            global_dict_max_card=0,  # bucket-local dicts only: batch dirs stay self-contained
-        )
-        res = encode_table(sess, batch_df, bcfg, plan=state["plan"])
-        if state["plan"] is None:
-            state["plan"] = res.plan
+        encode_batch(batch_df, batch_id)
         if dedup_keys:
-            from pyspark.sql import functions as F
-
             # persist this batch's keys AFTER its encode committed (replay
             # overwrites the same partition -> idempotent)
-            (batch_df.select(F.xxhash64(*[F.col(c) for c in dedup_keys]).alias("k"))
+            (batch_df.select(*_keys(batch_df))
              .distinct()
              .write.mode("overwrite")
              .parquet(f"{_seen_keys_dir(out_root)}/batch={batch_id}"))
@@ -119,11 +153,7 @@ def encode_stream(spark: SparkSession, stream_df: DataFrame, out_root: str,
         stream_df.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return None
-    return writer.start()
+    return run_stream(writer, available_now)
 
 
 def scan_batches(spark: SparkSession, out_root: str,

@@ -19,12 +19,10 @@ in-place updates, which is what makes the columnar sink viable.
 
 from __future__ import annotations
 
-from dataclasses import replace
-
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-from ..operators.encode import EncodeConfig, encode_table
-from .ingest import _batch_dir, list_batches
+from ..operators.encode import EncodeConfig
+from .ingest import batch_encoder, run_stream
 
 
 def rollup_stream(
@@ -63,36 +61,16 @@ def rollup_stream(
         )
     )
 
-    state: dict[str, object] = {"plan": None}
-    batches = list_batches(out_root)
-    if batches:
-        try:
-            from ..operators.encode import read_meta
-
-            state["plan"] = read_meta(spark, _batch_dir(out_root, batches[0]))["plan"]
-        except Exception:
-            pass
+    encode_batch = batch_encoder(spark, out_root, cfg)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # no window finalized this batch: nothing to encode
-        bcfg = replace(
-            cfg,
-            out_dir=_batch_dir(out_root, batch_id),
-            snapshot_id=f"{cfg.snapshot_id}-b{batch_id}",
-            global_dict_max_card=0,
-        )
-        res = encode_table(batch_df.sparkSession, batch_df, bcfg, plan=state["plan"])
-        if state["plan"] is None:
-            state["plan"] = res.plan
+        encode_batch(batch_df, batch_id)
 
     writer = (
         win.writeStream.outputMode("append")
         .foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
-    if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        return None
-    return writer.start()
+    return run_stream(writer, available_now)
