@@ -143,6 +143,18 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         queries[name] = round(best, 3)
 
+    # -- 4. round-3 surfaces, reported as EXTRAS (not in the headline total,
+    # which stays comparable with BENCH_r1/r2): vector-column engine scan
+    # and multimodal frame sampling
+    for name in ("eng_vector_scan", "ops_frame_sample"):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        extra[f"{name}_sec"] = round(best, 3)
+
     shutil.rmtree(out, ignore_errors=True)
     total = round(sum(queries.values()), 3)
     print(json.dumps({
