@@ -866,3 +866,27 @@ def test_datasource_reads_vector_columns(spark, tmp_path):
     assert ds.filter("k BETWEEN 10 AND 19").count() == 10
     got = ds.filter("k = 42").select("v").collect()[0][0]
     assert [float(x) for x in got] == [42.0, 43.0, 44.0, 45.0]
+
+
+def test_resume_vector_table_byte_identity(spark, tmp_path):
+    """Resume determinism extends to vector columns: a partial run (2 of 4
+    buckets) resumed with the full input produces lineage content SHAs
+    identical to an uninterrupted run — the element-bytes blobs and their
+    canonical digests are pure numpy/Arrow, no iteration-order hazards."""
+    df = spark.sql(
+        "SELECT id AS k, transform(sequence(0, 7), i -> CAST(i * 0.25 + id AS FLOAT)) AS v "
+        "FROM range(800)"
+    )
+    cfg_kw = dict(bucket_key="k", buckets=4, block_size=128, snapshot_id="t1")
+    out = str(tmp_path / "vres")
+    partial = df.filter(F.pmod(F.xxhash64("k"), F.lit(4)).isin(0, 1))
+    encode_table(spark, partial, EncodeConfig(out_dir=out, **cfg_kw))
+    res = encode_table(spark, df, EncodeConfig(out_dir=out, **cfg_kw))
+    assert res.resumed_buckets == 2 and res.encoded_buckets == 2
+    ref = str(tmp_path / "vref")
+    encode_table(spark, df, EncodeConfig(out_dir=ref, **cfg_kw))
+    l1 = {r["bucket"]: r["content_sha"]
+          for r in spark.read.parquet(f"{out}/lineage").collect()}
+    l2 = {r["bucket"]: r["content_sha"]
+          for r in spark.read.parquet(f"{ref}/lineage").collect()}
+    assert l1 == l2

@@ -197,3 +197,11 @@ def test_windowed_rollup_stream(spark, tmp_path):
     w = want.sort_values(key).reset_index(drop=True)[got.columns.tolist()]
     pd.testing.assert_frame_equal(g, w)
     assert not g.duplicated(subset=key).any()  # exactly-once per window
+
+    # drain again with NO new data: nothing re-emits, batch set unchanged
+    from parquet_main_spark.streaming.ingest import list_batches
+
+    before = list_batches(out_root)
+    rollup_stream(spark, stream, out_root, cfg, ckpt, **kw)
+    assert list_batches(out_root) == before
+    assert scan_batches(spark, out_root).count() == len(g)
