@@ -878,6 +878,89 @@ GROUP BY 1, 2, 3
 """
 
 
+def eng_stream_sessions(spark, sf_dir):
+    """SESSION-window streaming coverage: per-user sessions with a 30-minute
+    inactivity gap via Spark's native `session_window` stateful operator
+    (built-in beats custom applyInPandasWithState state code for these
+    semantics), append mode -> finalized sessions encoded into batch dirs.
+    The DuckDB oracle is the classic gaps-and-islands rewrite with the SAME
+    finalization cutoff (session last event + gap <= max(ts) - watermark),
+    so the stateful session merge, watermark finalization AND the encode
+    round-trip all sit under the hash check. session_end = last event + gap
+    (Spark's definition); the oracle mirrors it."""
+    import os
+    import tempfile
+    import uuid
+
+    from .operators.encode import EncodeConfig
+    from .streaming.ingest import scan_batches
+    from .streaming.rollup import rollup_stream
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix=f"pms_sess_{uuid.uuid4().hex[:8]}_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), f"{src}/events.parquet")
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(src)
+        .select(
+            F.expr("timestamp_micros(timestampdiff(MICROSECOND, "
+                   "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))").alias("wts"),
+            "user_id",
+        )
+    )
+    cfg = EncodeConfig(out_dir="ignored", bucket_key="user_id", buckets=2,
+                       block_size=256, snapshot_id="sessions")
+    rollup_stream(
+        spark, stream, f"{base}/out", cfg, f"{base}/ckpt",
+        ts_col="wts", session_gap="30 minutes", watermark_delay="12 hours",
+        group_cols=["user_id"], aggs={"n_events": F.count("*")},
+    )
+    back = scan_batches(spark, f"{base}/out")
+    to_ntz = lambda c: F.expr(  # noqa: E731
+        f"timestampadd(MICROSECOND, unix_micros({c}), TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+    ).alias(c)
+    # per-user session profile: compact, order-insensitive
+    return (
+        back.select(to_ntz("window_start"), to_ntz("window_end"),
+                    "user_id", "n_events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"),
+             F.sum("n_events").alias("n_events"),
+             F.min("window_start").alias("first_start"),
+             F.max("window_end").alias("last_end"))
+    )
+
+
+ENG_SESSIONS_SQL = """
+WITH cut AS (SELECT max(ts) - INTERVAL 12 HOUR AS wm FROM events),
+o AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+       min(session_start) AS first_start, max(session_end) AS last_end
+FROM sess, cut
+WHERE session_end <= wm
+GROUP BY user_id
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1765,6 +1848,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_vector_scan": eng_vector_scan,
     "eng_ann_cosine": eng_ann_cosine,
     "eng_stream_rollup": eng_stream_rollup,
+    "eng_stream_sessions": eng_stream_sessions,
     "eng_datasource_scan": eng_datasource_scan,
     "eng_datasource_prune": eng_datasource_prune,
     "ops_dedup_exact": ops_dedup_exact,
@@ -1819,6 +1903,7 @@ ORACLES: dict[str, str] = {
     "eng_vector_scan": ENG_VECTOR_SQL,
     "eng_ann_cosine": ENG_ANN_SQL,
     "eng_stream_rollup": ENG_ROLLUP_SQL,
+    "eng_stream_sessions": ENG_SESSIONS_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "eng_datasource_prune": ENG_DATASOURCE_PRUNE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,

@@ -33,13 +33,19 @@ def rollup_stream(
     checkpoint_dir: str,
     *,
     ts_col: str,
-    window_duration: str,
+    window_duration: str | None = None,
     watermark_delay: str,
     group_cols: list[str],
     aggs: dict[str, Column],
+    session_gap: str | None = None,
     available_now: bool = True,
 ):
-    """Run (and by default drain) a watermarked tumbling-window rollup.
+    """Run (and by default drain) a watermarked event-time window rollup.
+
+    Exactly one of ``window_duration`` (tumbling windows) or ``session_gap``
+    (session windows: a session closes after ``gap`` of per-key inactivity;
+    emitted ``window_end`` = last event + gap — Spark's native
+    ``session_window`` stateful operator, no custom state code) must be set.
 
     ``aggs`` maps output column name -> aggregate Column (built from
     pyspark.sql.functions, e.g. ``{"n": F.count("*")}``). The encoded rollup
@@ -48,10 +54,14 @@ def rollup_stream(
     time-partitioned choice). Windows are appended only once final (append
     output mode + watermark), so replays of a micro-batch hit
     ``encode_table``'s idempotent resume exactly like raw ingestion."""
+    if (window_duration is None) == (session_gap is None):
+        raise ValueError("set exactly one of window_duration or session_gap")
     agg_cols = [c.alias(name) for name, c in aggs.items()]
+    win_expr = (F.session_window(F.col(ts_col), session_gap) if session_gap
+                else F.window(F.col(ts_col), window_duration))
     win = (
         stream_df.withWatermark(ts_col, watermark_delay)
-        .groupBy(F.window(F.col(ts_col), window_duration), *group_cols)
+        .groupBy(win_expr.alias("window"), *group_cols)
         .agg(*agg_cols)
         .select(
             F.col("window.start").alias("window_start"),
