@@ -50,6 +50,10 @@ def __getattr__(name):
         from .streaming.rollup import rollup_stream
 
         return rollup_stream
+    if name == "threshold_crossings":
+        from .streaming.state import threshold_crossings
+
+        return threshold_crossings
     if name in ("decode_images", "resize_images", "image_features",
                 "sample_frames", "audio_meta"):
         from .operators import multimodal as _m

@@ -961,6 +961,47 @@ GROUP BY user_id
 """
 
 
+def eng_stream_threshold(spark, sf_dir):
+    """ARBITRARY-STATE streaming coverage (applyInPandasWithState): emit one
+    row per user at the moment their cumulative event count reaches 60 —
+    cumulative-across-batches semantics no built-in stateful operator emits
+    (windowed counts reset per window; dropDuplicates has no counter).
+    Per-key state is ONE int, so state size is O(distinct keys) at any
+    corpus scale. The DuckDB oracle is row_number()=60 per user in
+    (ts, event_id) order — the crossing timestamp must match EXACTLY, which
+    proves both the cross-batch counter and the in-batch ordering."""
+    import os
+    import tempfile
+    import uuid
+
+    from .streaming.state import threshold_crossings
+
+    ev = _t(spark, sf_dir, "events")
+    base = tempfile.mkdtemp(prefix=f"pms_thr_{uuid.uuid4().hex[:8]}_")
+    src = f"{base}/src"
+    os.makedirs(src)
+    os.symlink(os.path.join(sf_dir, "events.parquet"), f"{src}/events.parquet")
+    stream = (spark.readStream.schema(ev.schema).parquet(src)
+              .select("user_id", "ts", "event_id"))
+    out = threshold_crossings(stream, key_col="user_id", ts_col="ts",
+                              order_cols=["ts", "event_id"], threshold=60)
+    sink = f"{base}/sink"
+    q = (out.writeStream.outputMode("append").format("parquet")
+         .option("path", sink).option("checkpointLocation", f"{base}/ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.read.parquet(sink).select("user_id", "crossed_at", "n_at_crossing")
+
+
+ENG_THRESHOLD_SQL = """
+SELECT user_id, ts AS crossed_at, 60 AS n_at_crossing
+FROM (SELECT user_id, ts,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events)
+WHERE rn = 60
+"""
+
+
 def eng_datasource_scan(spark, sf_dir):
     """Transparent read-back through the registered Python Data Source
     (spark.read.format): the .filter() is pushed into the source via
@@ -1849,6 +1890,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_ann_cosine": eng_ann_cosine,
     "eng_stream_rollup": eng_stream_rollup,
     "eng_stream_sessions": eng_stream_sessions,
+    "eng_stream_threshold": eng_stream_threshold,
     "eng_datasource_scan": eng_datasource_scan,
     "eng_datasource_prune": eng_datasource_prune,
     "ops_dedup_exact": ops_dedup_exact,
@@ -1904,6 +1946,7 @@ ORACLES: dict[str, str] = {
     "eng_ann_cosine": ENG_ANN_SQL,
     "eng_stream_rollup": ENG_ROLLUP_SQL,
     "eng_stream_sessions": ENG_SESSIONS_SQL,
+    "eng_stream_threshold": ENG_THRESHOLD_SQL,
     "eng_datasource_scan": ENG_DATASOURCE_SQL,
     "eng_datasource_prune": ENG_DATASOURCE_PRUNE_SQL,
     "ops_dedup_exact": OPS_DEDUP_EXACT_SQL,

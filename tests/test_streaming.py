@@ -205,3 +205,53 @@ def test_windowed_rollup_stream(spark, tmp_path):
     rollup_stream(spark, stream, out_root, cfg, ckpt, **kw)
     assert list_batches(out_root) == before
     assert scan_batches(spark, out_root).count() == len(g)
+
+
+def test_threshold_crossings_stateful(spark, tmp_path):
+    """Custom arbitrary-state operator (applyInPandasWithState): emit ONE
+    row per user at their Nth event. Two time-ordered waves force the state
+    to carry counts ACROSS micro-batches: users who reach N only after
+    wave 2 must emit with the exact Nth event's timestamp."""
+    from parquet_main_spark.streaming.state import threshold_crossings
+
+    src = str(tmp_path / "tc_src")
+    ckpt = str(tmp_path / "tc_ckpt")
+    sink = str(tmp_path / "tc_sink")
+
+    ev = spark.sql(
+        "SELECT CAST(id % 37 AS BIGINT) AS user_id, "
+        "timestamp'2024-05-01' + make_interval(0,0,0,0,0,0,id) AS ts, "
+        "id AS event_id FROM range(300)"
+    )
+    wave1 = ev.filter("event_id < 150")
+    wave2 = ev.filter("event_id >= 150")
+
+    def drain():
+        stream = spark.readStream.schema(ev.schema).parquet(src)
+        out = threshold_crossings(stream, key_col="user_id", ts_col="ts",
+                                  order_cols=["ts", "event_id"], threshold=6)
+        q = (out.writeStream.outputMode("append").format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    wave1.write.mode("append").parquet(src)
+    drain()
+    wave2.write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(sink).toPandas().sort_values("user_id").reset_index(drop=True)
+    # oracle: the 6th event per user, in (ts, event_id) order
+    want = spark.sql(
+        "SELECT user_id, ts AS crossed_at FROM ("
+        "  SELECT CAST(id % 37 AS BIGINT) AS user_id, "
+        "  timestamp'2024-05-01' + make_interval(0,0,0,0,0,0,id) AS ts, "
+        "  row_number() OVER (PARTITION BY id % 37 ORDER BY id) AS rn "
+        "  FROM range(300)) WHERE rn = 6"
+    ).toPandas().sort_values("user_id").reset_index(drop=True)
+    assert got["user_id"].tolist() == want["user_id"].tolist()
+    assert got["crossed_at"].tolist() == want["crossed_at"].tolist()
+    assert (got["n_at_crossing"] == 6).all()
+    # 300 events over 37 users: every user reaches 6 (300/37 ≈ 8.1), and
+    # some only in wave 2 — cross-batch state proven by count parity
+    assert len(got) == 37
