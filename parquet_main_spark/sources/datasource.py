@@ -35,6 +35,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
     Filter,
@@ -273,8 +274,86 @@ class EncodedTableReader(DataSourceReader):
         )
 
 
+def _ready_batches(out_root: str) -> list[int]:
+    """Batch dirs safe to consume: encode_table writes lineage LAST, so a
+    batch is complete exactly when its lineage dir holds parquet files."""
+    import glob
+    import os
+
+    out = []
+    for name in os.listdir(out_root) if os.path.isdir(out_root) else []:
+        if not name.startswith("batch="):
+            continue
+        b = int(name.split("=", 1)[1])
+        if glob.glob(f"{out_root}/{name}/lineage/*.parquet"):
+            out.append(b)
+    return sorted(out)
+
+
+class EncodedBatchesStreamReader(DataSourceStreamReader):
+    """Streaming source over an ``encode_stream``/``rollup_stream`` output
+    root: every COMPLETED ``batch=N`` directory becomes (part of) one
+    micro-batch downstream, partitioned per bucket file exactly like the
+    batch reader. Offset = {"next": first-unconsumed batch id}; batches are
+    immutable once their lineage lands, so replay between committed offsets
+    is deterministic (Spark's exactly-once contract for sources)."""
+
+    def __init__(self, out_root: str, columns: list[str] | None = None):
+        from ..operators.encode import gdicts_from_json
+
+        self.out_root = out_root
+        ready = _ready_batches(out_root)
+        if not ready:
+            raise ValueError(
+                f"no completed batch= dirs under {out_root}; the streaming "
+                "reader needs at least one encoded batch for its schema"
+            )
+        meta = _read_meta_local(f"{out_root}/batch={ready[0]}")
+        self.logical: dict[str, str] = meta["logical"]
+        self.columns = list(columns) if columns is not None else list(self.logical)
+        self.gdicts = gdicts_from_json(meta.get("gdicts", {}), self.logical)
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        ready = _ready_batches(self.out_root)
+        # consume only the ready PREFIX: a gap (batch 3 done, batch 2 still
+        # writing) must not skip the laggard
+        nxt = 0
+        for b in ready:
+            if b != nxt:
+                break
+            nxt += 1
+        return {"next": nxt}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        from ..operators.decode import _list_block_files
+
+        parts = []
+        for b in range(int(start["next"]), int(end["next"])):
+            for p in _list_block_files(f"{self.out_root}/batch={b}"):
+                parts.append(InputPartition(p))
+        return parts or [InputPartition(None)]
+
+    def read(self, partition: InputPartition):
+        from ..operators.decode import _decode_file
+
+        if partition.value is None:
+            return
+        yield from _decode_file(
+            partition.value, self.logical, self.columns, None, self.gdicts
+        )
+
+    def commit(self, end: dict) -> None:
+        pass  # batch dirs are the durable log; nothing to acknowledge
+
+
 class EncodedTableDataSource(DataSource):
-    """``spark.read.format("pms_encoded").load(out_dir)``."""
+    """``spark.read.format("pms_encoded").load(out_dir)`` — and
+    ``spark.readStream.format("pms_encoded").load(out_root)`` over an
+    ingest root of ``batch=N`` dirs (each completed batch dir becomes a
+    micro-batch; schema/plan pinned by batch 0, the ingest invariant)."""
 
     @classmethod
     def name(cls) -> str:
@@ -283,7 +362,9 @@ class EncodedTableDataSource(DataSource):
     def schema(self) -> str:
         from ..functions.arrow import spark_type
 
-        meta = _read_meta_local(self.options["path"])
+        path = self.options["path"]
+        ready = _ready_batches(path)
+        meta = _read_meta_local(f"{path}/batch={ready[0]}" if ready else path)
         cols = _columns_option(self.options, meta["logical"])
         return ", ".join(f"`{c}` {spark_type(meta['logical'][c])}" for c in cols)
 
@@ -291,6 +372,14 @@ class EncodedTableDataSource(DataSource):
         meta = _read_meta_local(self.options["path"])
         return EncodedTableReader(
             self.options["path"], _columns_option(self.options, meta["logical"])
+        )
+
+    def streamReader(self, schema) -> EncodedBatchesStreamReader:
+        path = self.options["path"]
+        ready = _ready_batches(path)
+        meta = _read_meta_local(f"{path}/batch={ready[0]}" if ready else path)
+        return EncodedBatchesStreamReader(
+            path, _columns_option(self.options, meta["logical"])
         )
 
 

@@ -255,3 +255,47 @@ def test_threshold_crossings_stateful(spark, tmp_path):
     # 300 events over 37 users: every user reaches 6 (300/37 ≈ 8.1), and
     # some only in wave 2 — cross-batch state proven by count parity
     assert len(got) == 37
+
+
+def test_streaming_read_of_encoded_batches(spark, tmp_path):
+    """spark.readStream.format('pms_encoded') consumes an ingest root:
+    completed batch dirs become micro-batches (offset = next batch id), new
+    batch dirs are picked up incrementally, and nothing is re-emitted."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+    from parquet_main_spark.streaming.ingest import _batch_dir
+    from parquet_main_spark.operators.encode import encode_table
+
+    register(spark)
+    full = webpages(spark, 600, partitions=2)
+    out_root = str(tmp_path / "sr_root")
+    w1 = full.filter(F.col("url") < "https://host5")
+    w2 = full.filter(F.col("url") >= "https://host5")
+    cfg = lambda b: EncodeConfig(out_dir=_batch_dir(out_root, b), buckets=2,  # noqa: E731
+                                 block_size=128, snapshot_id=f"s-b{b}",
+                                 global_dict_max_card=0)
+    encode_table(spark, w1, cfg(0))
+
+    sink = str(tmp_path / "sr_sink")
+    ckpt = str(tmp_path / "sr_ckpt")
+
+    def drain():
+        s = (spark.readStream.format(FORMAT_NAME)
+             .option("columns", "url,lang").load(out_root))
+        q = (s.writeStream.format("parquet").option("path", sink)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    got1 = spark.read.parquet(sink)
+    assert got1.count() == w1.count()
+    assert set(got1.columns) == {"url", "lang"}
+
+    encode_table(spark, w2, cfg(1))
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == full.count()          # batch 1 consumed once
+    assert got.select("url").distinct().count() == full.count()
+
+    drain()                                      # no new batches: no-op
+    assert spark.read.parquet(sink).count() == full.count()
