@@ -299,3 +299,26 @@ def test_streaming_read_of_encoded_batches(spark, tmp_path):
 
     drain()                                      # no new batches: no-op
     assert spark.read.parquet(sink).count() == full.count()
+
+
+def test_stream_reader_ready_prefix_only(tmp_path):
+    """latestOffset consumes only the READY PREFIX of batch dirs: batch 2
+    complete while batch 1 still writing must not be skipped past (no
+    Spark needed — pure offset logic)."""
+    import os
+
+    from parquet_main_spark.sources.datasource import _ready_batches
+
+    root = str(tmp_path / "root")
+    for b, done in ((0, True), (1, False), (2, True)):
+        os.makedirs(f"{root}/batch={b}/lineage", exist_ok=True)
+        if done:
+            open(f"{root}/batch={b}/lineage/part-0.parquet", "wb").close()
+    assert _ready_batches(root) == [0, 2]
+    # the reader's latestOffset walks the ready prefix: stops before the gap
+    ready, nxt = _ready_batches(root), 0
+    for b in ready:
+        if b != nxt:
+            break
+        nxt += 1
+    assert nxt == 1  # batch 0 consumable; batch 2 waits for batch 1
