@@ -217,6 +217,11 @@ SELECT * FROM (
 
 
 def q_events_by_type(spark, sf_dir):
+    """Bench-only since r4 (not in the driver registry): the driver's
+    CORRECTNESS artifact caps at 50 queries, and this groupBy-agg shape is
+    already gated by q01/q_events_daily/eng_lang_counts. bench.py keeps it
+    for round-over-round timing continuity; tests/test_queries_oracle.py
+    still oracles it locally via BENCH_ONLY_ORACLES."""
     e = _t(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
@@ -318,7 +323,9 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_union_key_space(spark, sf_dir):
-    """Set op: distinct union of two key populations."""
+    """Set op: distinct union of two key populations. Registry-trimmed in
+    r4 (driver artifact caps at 50 queries); still oracled locally via
+    BENCH_ONLY_ORACLES in tests/test_queries_oracle.py."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.union(s).distinct().groupBy().agg(F.count("*").alias("n_nations"))
@@ -653,47 +660,40 @@ GROUP BY 1
 
 
 def eng_decimal_scan(spark, sf_dir):
-    """DECIMAL column coverage: decimals ride the int codec family as
-    unscaled int64 (p <= 18); the pushed predicate compares unscaled values
-    against the int zone map, the result comes back as exact decimal."""
+    """DECIMAL column coverage, both width families in ONE gated query
+    (merged r4 to fit the driver's 50-query artifact cap):
+
+    * kind='dec64' — decimal(p<=18) rides the int codec family as unscaled
+      int64; the pushed predicate compares unscaled values against the int
+      zone map, the result comes back as exact decimal.
+    * kind='dec128' — decimal(19..38) rides the BINARY codec family as
+      16-byte big-endian offset-binary keys, so byte order == numeric order
+      and zone maps / dictionaries / range predicates all work byte-wise —
+      the FIXED_LEN_BYTE_ARRAY-decimal analog of the reference's type
+      matrix (EncValuesWriterFactory.java:82-101). The value is built by
+      EXACT scale extension (decimal(12,2) -> decimal(38,18), no
+      arithmetic) so Spark and the DuckDB oracle agree digit-for-digit; at
+      scale 18 the unscaled value ~1e23 genuinely exceeds int64.
+
+    Both sides aggregate exactly in decimal then cast ONCE to double at the
+    end (DuckDB's pandas bridge floats wide decimals anyway)."""
     from .operators.decode import Predicate, scan
 
-    out = _encoded_dir(
+    out64 = _encoded_dir(
         spark, sf_dir, "lineitem", "l_orderkey", name="lineitem_dec",
         transform=lambda d: d.select(
             "l_orderkey", F.col("l_extendedprice").cast("decimal(12,2)").alias("price")
         ),
     )
-    rows = scan(spark, out, columns=["l_orderkey", "price"],
-                predicate=Predicate("price", ">=", 5_000_000))  # unscaled 50000.00
-    return rows.agg(
+    rows64 = scan(spark, out64, columns=["l_orderkey", "price"],
+                  predicate=Predicate("price", ">=", 5_000_000))  # unscaled 50000.00
+    part64 = rows64.agg(
         F.count("*").alias("n_rows"),
-        F.sum("price").alias("total"),
-        F.min("price").alias("min_price"),
-    )
+        F.sum("price").cast("double").alias("total"),
+        F.min("price").cast("double").alias("min_val"),
+    ).select(F.lit("dec64").alias("kind"), "n_rows", "total", "min_val")
 
-
-ENG_DECIMAL_SQL = """
-SELECT count(*) AS n_rows,
-       sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS total,
-       min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
-FROM lineitem WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 50000.00
-"""
-
-
-def eng_decimal128_scan(spark, sf_dir):
-    """WIDE-decimal coverage (precision 19..38): decimal128 rides the BINARY
-    codec family as 16-byte big-endian offset-binary keys, so byte order ==
-    numeric order and zone maps / dictionaries / range predicates all work
-    byte-wise — the FIXED_LEN_BYTE_ARRAY-decimal analog of the reference's
-    type matrix (EncValuesWriterFactory.java:82-101). The value is built by
-    EXACT scale extension (decimal(12,2) -> decimal(38,18), no arithmetic)
-    so Spark and the DuckDB oracle agree digit-for-digit; at scale 18 the
-    unscaled value ~1e23 genuinely exceeds int64. The pushed predicate takes
-    the unscaled int; scan() normalizes it to the 16-byte key."""
-    from .operators.decode import Predicate, scan
-
-    out = _encoded_dir(
+    out128 = _encoded_dir(
         spark, sf_dir, "lineitem", "l_orderkey", name="lineitem_dec128",
         transform=lambda d: d.select(
             "l_orderkey",
@@ -702,22 +702,26 @@ def eng_decimal128_scan(spark, sf_dir):
         ),
     )
     thr = 50_000 * 10**18  # unscaled 50000.000000000000000000 at scale 18
-    rows = scan(spark, out, columns=["l_orderkey", "big"],
-                predicate=Predicate("big", ">=", thr))
-    return rows.agg(
+    rows128 = scan(spark, out128, columns=["l_orderkey", "big"],
+                   predicate=Predicate("big", ">=", thr))
+    part128 = rows128.agg(
         F.count("*").alias("n_rows"),
-        # aggregate exactly in decimal, report as double: DuckDB's pandas
-        # bridge floats wide decimals anyway, so both sides cast the SAME
-        # exact decimal once at the end
         F.sum("big").cast("double").alias("total"),
-        F.min("big").cast("double").alias("min_big"),
-    )
+        F.min("big").cast("double").alias("min_val"),
+    ).select(F.lit("dec128").alias("kind"), "n_rows", "total", "min_val")
+
+    return part64.unionByName(part128)
 
 
-ENG_DECIMAL128_SQL = """
-SELECT count(*) AS n_rows,
+ENG_DECIMAL_SQL = """
+SELECT 'dec64' AS kind, count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_val
+FROM lineitem WHERE CAST(l_extendedprice AS DECIMAL(12,2)) >= 50000.00
+UNION ALL
+SELECT 'dec128' AS kind, count(*) AS n_rows,
        CAST(sum(big) AS DOUBLE) AS total,
-       CAST(min(big) AS DOUBLE) AS min_big
+       CAST(min(big) AS DOUBLE) AS min_val
 FROM (SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DECIMAL(38,18)) AS big
       FROM lineitem)
 WHERE big >= 50000
@@ -936,8 +940,11 @@ ENG_SESSIONS_SQL = """
 WITH cut AS (SELECT max(ts) - INTERVAL 12 HOUR AS wm FROM events),
 o AS (
   SELECT user_id, ts,
+         -- >= not >: Spark's session_window is END-EXCLUSIVE — an event
+         -- exactly `gap` after the previous one starts a NEW session
+         -- ([ts, ts+gap) windows only merge when they truly overlap)
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   > INTERVAL 30 MINUTE
+                   >= INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS brk
   FROM events
@@ -953,7 +960,10 @@ sess AS (
          max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
   FROM s GROUP BY user_id, sid
 )
-SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+SELECT user_id, count(*) AS n_sessions,
+       -- CAST: DuckDB's integer sum() is HUGEINT, which floats through the
+       -- pandas bridge; Spark's sum is BIGINT — hash would diverge
+       CAST(sum(n_events) AS BIGINT) AS n_events,
        min(session_start) AS first_start, max(session_end) AS last_end
 FROM sess, cut
 WHERE session_end <= wm
@@ -1048,7 +1058,10 @@ def eng_datasource_prune(spark, sf_dir):
 
 
 ENG_DATASOURCE_PRUNE_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs,
+       -- CAST: DuckDB integer sum() is HUGEINT (floats via pandas bridge);
+       -- Spark sum is BIGINT — same values, different hash without it
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE n_chars >= 200 GROUP BY lang
 """
 
@@ -1857,18 +1870,21 @@ def ops_image_pipeline(spark, sf_dir):
 # --------------------------------------------------------------------------
 # registry
 
+#: EXACTLY 50 entries: the driver's CORRECTNESS artifact records at most 50
+#: rows per round (r3 registered 53 and the last 3 got no row at all), so
+#: every entry here must fit under that cap. q_events_by_type /
+#: q_union_key_space moved to BENCH_ONLY (still oracled locally);
+#: eng_decimal128_scan merged into eng_decimal_scan.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_orders": q03_top_orders,
     "q05_region_revenue": q05_region_revenue,
     "q06_forecast_revenue": q06_forecast_revenue,
     "q_top_customers_per_segment": q_top_customers_per_segment,
-    "q_events_by_type": q_events_by_type,
     "q_events_daily": q_events_daily,
     "q_rollup_orders": q_rollup_orders,
     "q_semi_anti_customers": q_semi_anti_customers,
     "q_status_pivot": q_status_pivot,
-    "q_union_key_space": q_union_key_space,
     "eng_lang_counts": eng_lang_counts,
     "eng_insitu_isin": eng_insitu_isin,
     "eng_prune_range": eng_prune_range,
@@ -1885,7 +1901,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_codec_bool_rle": eng_codec_bool_rle,
     "eng_typed_scan": eng_typed_scan,
     "eng_decimal_scan": eng_decimal_scan,
-    "eng_decimal128_scan": eng_decimal128_scan,
     "eng_vector_scan": eng_vector_scan,
     "eng_ann_cosine": eng_ann_cosine,
     "eng_stream_rollup": eng_stream_rollup,
@@ -1919,12 +1934,10 @@ ORACLES: dict[str, str] = {
     "q05_region_revenue": Q05_SQL,
     "q06_forecast_revenue": Q06_SQL,
     "q_top_customers_per_segment": Q_TOPCUST_SQL,
-    "q_events_by_type": Q_EVENTS_SQL,
     "q_events_daily": Q_DAILY_SQL,
     "q_rollup_orders": Q_ROLLUP_SQL,
     "q_semi_anti_customers": Q_SEMI_SQL,
     "q_status_pivot": Q_PIVOT_SQL,
-    "q_union_key_space": Q_UNION_SQL,
     "eng_lang_counts": ENG_LANG_SQL,
     "eng_insitu_isin": ENG_ISIN_SQL,
     "eng_prune_range": ENG_PRUNE_SQL,
@@ -1941,7 +1954,6 @@ ORACLES: dict[str, str] = {
     "eng_codec_bool_rle": ENG_BOOL_SQL,
     "eng_typed_scan": ENG_TYPED_SQL,
     "eng_decimal_scan": ENG_DECIMAL_SQL,
-    "eng_decimal128_scan": ENG_DECIMAL128_SQL,
     "eng_vector_scan": ENG_VECTOR_SQL,
     "eng_ann_cosine": ENG_ANN_SQL,
     "eng_stream_rollup": ENG_ROLLUP_SQL,
@@ -1966,4 +1978,17 @@ ORACLES: dict[str, str] = {
     "ops_ivf_topk": OPS_IVF_TOPK_SQL,
     "ops_blob_meta": OPS_BLOB_SQL,
     "ops_frame_sample": OPS_FRAMES_SQL,
+}
+
+#: Queries trimmed from the driver registry to fit its 50-row artifact cap,
+#: but still run + oracled by tests/test_queries_oracle.py (and bench.py for
+#: q_events_by_type, for round-over-round timing continuity).
+BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_events_by_type": q_events_by_type,
+    "q_union_key_space": q_union_key_space,
+}
+
+BENCH_ONLY_ORACLES: dict[str, str] = {
+    "q_events_by_type": Q_EVENTS_SQL,
+    "q_union_key_space": Q_UNION_SQL,
 }

@@ -59,15 +59,17 @@ def contract():
 
 
 def _all_query_names():
-    from parquet_main_spark.queries import QUERIES
+    from parquet_main_spark.queries import BENCH_ONLY, QUERIES
 
-    return list(QUERIES)
+    return list(QUERIES) + list(BENCH_ONLY)
 
 
 @pytest.mark.parametrize("name", _all_query_names())
 def test_query_matches_oracle(spark, duck, contract, name):
-    qs = contract.queries()
-    os_ = contract.oracle_sql()
+    from parquet_main_spark.queries import BENCH_ONLY, BENCH_ONLY_ORACLES
+
+    qs = {**contract.queries(), **BENCH_ONLY}
+    os_ = {**contract.oracle_sql(), **BENCH_ONLY_ORACLES}
     sdf = qs[name](spark, SF_DIR)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
@@ -82,6 +84,17 @@ def test_query_matches_oracle(spark, duck, contract, name):
     assert sorted(scols) == sorted(dcols), f"{name}: columns {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
     assert _hash_rows(scols, srows) == _hash_rows(dcols, drows), f"{name}: value hash mismatch"
+
+
+def test_registry_fits_driver_cap(contract):
+    """The driver's CORRECTNESS artifact records at most 50 rows per round
+    (observed: r3 registered 53 queries, the last 3 got no row). Every
+    registered query must actually be gated, so the registry must stay at
+    or under the cap."""
+    qs = contract.queries()
+    assert len(qs) <= 50, f"registry has {len(qs)} entries; driver caps at 50"
+    extra = set(contract.oracle_sql()) - set(qs)
+    assert not extra, f"oracles without a registered query: {sorted(extra)}"
 
 
 def test_entry_smoke(contract):
