@@ -940,11 +940,13 @@ ENG_SESSIONS_SQL = """
 WITH cut AS (SELECT max(ts) - INTERVAL 12 HOUR AS wm FROM events),
 o AS (
   SELECT user_id, ts,
-         -- >= not >: Spark's session_window is END-EXCLUSIVE — an event
-         -- exactly `gap` after the previous one starts a NEW session
-         -- ([ts, ts+gap) windows only merge when they truly overlap)
+         -- strictly-greater: Spark's session_window MERGES an event landing
+         -- exactly `gap` after the previous one (boundary is inclusive —
+         -- verified empirically and pinned by
+         -- tests/test_streaming.py::test_session_window_exact_gap_boundary);
+         -- only a gap STRICTLY longer than 30min starts a new session
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                   >= INTERVAL 30 MINUTE
+                   > INTERVAL 30 MINUTE
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS brk
   FROM events

@@ -322,3 +322,83 @@ def test_stream_reader_ready_prefix_only(tmp_path):
             break
         nxt += 1
     assert nxt == 1  # batch 0 consumable; batch 2 waits for batch 1
+
+
+def test_session_window_exact_gap_boundary(spark, tmp_path):
+    """Spark's session_window boundary is INCLUSIVE: an event landing
+    EXACTLY ``gap`` after the previous one MERGES into the same session;
+    only a STRICTLY longer gap starts a new one (verified in batch mode:
+    [00:00, 00:30] with gap=30min -> ONE session [00:00, 01:00)). The
+    gaps-and-islands oracle must therefore break on ``delta > gap`` —
+    pinned here with exact-gap and gap-plus-one-second fixtures that the
+    driver testdata never contained."""
+    import duckdb
+
+    from parquet_main_spark.streaming.rollup import rollup_stream
+
+    src = str(tmp_path / "sess_src")
+    out_root = str(tmp_path / "sess_root")
+    ckpt = str(tmp_path / "sess_ckpt")
+
+    # user 1: 00:00 then EXACTLY +30min  -> MERGED, 1 session (inclusive)
+    # user 2: 00:00 then +29:59          -> 1 session
+    # user 4: 00:00 then +30:01          -> 2 sessions (strictly beyond gap)
+    # user 3: lone late event advancing the watermark past everything
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-06-01 00:00:00"),
+            (1, "2024-06-01 00:30:00"),
+            (2, "2024-06-01 00:00:00"),
+            (2, "2024-06-01 00:29:59"),
+            (4, "2024-06-01 00:00:00"),
+            (4, "2024-06-01 00:30:01"),
+            (3, "2024-06-02 12:00:00"),
+        ],
+        "user_id int, s string",
+    ).select("user_id", F.col("s").cast("timestamp").alias("ts"))
+    ev.write.mode("append").parquet(src)
+
+    cfg = EncodeConfig(out_dir="ignored", bucket_key="user_id", buckets=1,
+                       block_size=16, snapshot_id="gap")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    rollup_stream(spark, stream, out_root, cfg, ckpt,
+                  ts_col="ts", session_gap="30 minutes",
+                  watermark_delay="1 minute", group_cols=["user_id"],
+                  aggs={"n_events": F.count("*")})
+    got = (
+        scan_batches(spark, out_root).toPandas()
+        .sort_values(["user_id", "window_start"]).reset_index(drop=True)
+    )
+    # engine semantics: exact gap merges, strictly-longer gap splits
+    by_user = got.groupby("user_id").size().to_dict()
+    assert by_user == {1: 1, 2: 1, 4: 2}, by_user
+
+    # the oracle formulation (> break) reproduces it row-for-row
+    pdf = ev.toPandas()
+    want = duckdb.query("""
+        WITH cut AS (SELECT max(ts) - INTERVAL 1 MINUTE AS wm FROM pdf),
+        o AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS brk
+          FROM pdf),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o),
+        sess AS (SELECT user_id, sid, min(ts) AS window_start,
+                        max(ts) + INTERVAL 30 MINUTE AS window_end,
+                        CAST(count(*) AS BIGINT) AS n_events
+                 FROM s GROUP BY user_id, sid)
+        SELECT user_id, window_start, window_end, n_events
+        FROM sess, cut WHERE window_end <= wm
+        ORDER BY user_id, window_start
+    """).df()
+    cols = ["user_id", "window_start", "window_end", "n_events"]
+    dt = {"user_id": "int64", "window_start": "datetime64[us]",
+          "window_end": "datetime64[us]"}
+    g = got[cols].astype(dt).reset_index(drop=True)
+    w = want[cols].astype(dt).reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
