@@ -402,18 +402,43 @@ def _surviving_blocks(stats: pa.Table, expr, logical: dict[str, str]):
     return _classify_blocks(stats, expr, logical)[0]
 
 
+def _open_parquet(path: str):
+    """Open an encoded bucket file for reading, local or remote: posix /
+    file: paths open directly; URI paths (hdfs://, s3://, ...) open through
+    pyarrow.fs — the same any-Hadoop-FS reach as the reference's
+    ParquetFileReader (ParquetFileReader.java:703-776), without needing a
+    JVM in the worker."""
+    import pyarrow.parquet as pq
+
+    from .encode import _local_path, is_remote_path
+
+    if is_remote_path(path):
+        import pyarrow.fs as pafs
+
+        fs, p = pafs.FileSystem.from_uri(path)
+        return pq.ParquetFile(fs.open_input_file(p))
+    return pq.ParquetFile(_local_path(path))
+
+
 def _decode_file(path: str, logical: dict[str, str], columns: list[str],
-                 expr, gdicts: dict, restrict_blocks: set | None = None):
+                 expr, gdicts: dict, restrict_blocks: set | None = None,
+                 rg_range: tuple[int, int] | None = None):
     """Decode one bucket file: zone-map prune from a stats-only columnar read
     (block blobs are never fetched for pruned blocks — the lazy-page analog,
     CompressedDataPageV1.java:30-45), then STREAM the surviving blocks row
     group by row group; at most one incomplete block group is buffered across
     a row-group boundary, never the whole file. ``restrict_blocks`` further
-    limits decoding to the given block_ids (the count-only boundary path)."""
-    import pyarrow.parquet as pq
+    limits decoding to the given block_ids (the count-only boundary path).
 
+    ``rg_range=(lo, hi)`` restricts DATA row groups to [lo, hi) — the
+    sub-bucket split path (_scan_units): a giant bucket file decodes as
+    several independent tasks, each still reading the leading dictionary
+    row groups (block_id=-1) so local dicts resolve. Ranges are cut at
+    block-group boundaries, so no (block, column) group ever straddles two
+    tasks. Analog: the reference iterates row groups independently,
+    ParquetFileReader.java:727-776."""
     expr = _as_expr(expr)
-    f = pq.ParquetFile(path)
+    f = _open_parquet(path)
     needed = list(dict.fromkeys(list(columns) + [p.col for p in _expr_leaves(expr)]))
     surviving = None
     if expr is not None:
@@ -435,6 +460,13 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
     pending_rows: dict[int, int] = {}
     for rg in range(md.num_row_groups):
         rgmd = md.row_group(rg)
+        if rg_range is not None:
+            # dict row groups (block_id = -1, written first) are read by
+            # every split task; data row groups only inside [lo, hi)
+            bst = rgmd.column(bid_idx).statistics
+            is_dict_rg = bst is not None and bst.has_min_max and bst.max < 0
+            if not is_dict_rg and not (rg_range[0] <= rg < rg_range[1]):
+                continue
         # column-chunk skip: the writer emits one row per row group, so the
         # `col` stats pin each row group to a single column — row groups of
         # columns this scan doesn't need are never read (the reference's
@@ -506,12 +538,18 @@ def _decode_file(path: str, logical: dict[str, str], columns: list[str],
 
 def _decode_tasks(logical: dict[str, str], columns: list[str],
                   expr, gdicts: dict, it):
-    """mapInArrow over (path) task rows — each task decodes whole bucket
-    files, so (block, column) groups are never split across tasks and no
-    block blob ever crosses a shuffle."""
+    """mapInArrow over (path, rg_lo, rg_hi) task rows — each task decodes a
+    whole bucket file (rg_lo = -1) or one row-group range of it, cut at
+    block-group boundaries, so (block, column) groups are never split
+    across tasks and no block blob ever crosses a shuffle."""
     for batch in it:
-        for path in batch.column("path").to_pylist():
-            yield from _decode_file(path, logical, columns, expr, gdicts)
+        paths = batch.column("path").to_pylist()
+        los = batch.column("rg_lo").to_pylist()
+        his = batch.column("rg_hi").to_pylist()
+        for path, lo, hi in zip(paths, los, his):
+            rng = None if lo < 0 else (lo, hi)
+            yield from _decode_file(path, logical, columns, expr, gdicts,
+                                    rg_range=rng)
 
 
 def _pred_mask(logical, gdicts, by_col, tbl: pa.Table, n: int, pred: Predicate):
@@ -712,12 +750,15 @@ def _normalize_expr(expr, logical: dict[str, str]):
     return walk(expr)
 
 
-def _list_block_files(out_dir: str, spark: SparkSession | None = None) -> list[str]:
-    """Bucket files under out_dir/blocks. Posix paths list via glob; Hadoop
-    FS URIs (hdfs://, s3a://, ...) list via the JVM FileSystem (one
-    globStatus — the same driver-side cost Spark's own file index pays) and
-    require a SparkSession. A missing blocks directory raises instead of
-    silently yielding an empty table."""
+def _list_block_files(out_dir: str, spark: SparkSession | None = None,
+                      ) -> list[tuple[str, int]]:
+    """Bucket files under out_dir/blocks as (path, size) pairs. Posix paths
+    list via glob; Hadoop FS URIs (hdfs://, s3a://, ...) list via the JVM
+    FileSystem when a SparkSession is given (one globStatus — the same
+    driver-side cost Spark's own file index pays), else via pyarrow.fs — so
+    the pms_encoded data source (which has no JVM handle in its Python
+    planner) reads remote tables too. A missing blocks directory raises
+    instead of silently yielding an empty table."""
     import glob
     import os
 
@@ -725,22 +766,97 @@ def _list_block_files(out_dir: str, spark: SparkSession | None = None) -> list[s
 
     path = f"{out_dir}/blocks"
     if is_remote_path(path):
-        if spark is None:
-            raise NotImplementedError(
-                "remote filesystems need a SparkSession for listing — "
-                "use scan(); the pms_encoded data source is local-path only"
-            )
-        jvm = spark._jvm
-        gp = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket=*/*.parquet")
-        fs = gp.getFileSystem(spark._jsc.hadoopConfiguration())
-        if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+        if spark is not None:
+            jvm = spark._jvm
+            gp = jvm.org.apache.hadoop.fs.Path(f"{path}/bucket=*/*.parquet")
+            fs = gp.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jvm.org.apache.hadoop.fs.Path(path)):
+                raise FileNotFoundError(f"no blocks directory under {out_dir}")
+            st = fs.globStatus(gp)
+            if st is None:
+                return []
+            return sorted((str(s.getPath()), int(s.getLen())) for s in st)
+        # no JVM (Python data source planner): list through pyarrow.fs and
+        # re-prefix the scheme so workers can reopen the same URIs
+        import re
+        from urllib.parse import urlparse
+
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(path)
+        u = urlparse(path)
+        # from_uri strips "scheme://" and, for host-carrying schemes
+        # (hdfs://nn:port/...), moves the authority into the fs object —
+        # reattach whatever prefix turns fs-relative paths back into URIs
+        stripped = path[len(f"{u.scheme}://"):]
+        prefix = f"{u.scheme}://{stripped[: len(stripped) - len(root)]}"
+        try:
+            infos = fs.get_file_info(pafs.FileSelector(root, recursive=True))
+        except FileNotFoundError:
             raise FileNotFoundError(f"no blocks directory under {out_dir}")
-        st = fs.globStatus(gp)
-        return sorted(str(s.getPath()) for s in st) if st is not None else []
+        pat = re.compile(r"/bucket=\d+/[^/]+\.parquet$")
+        return sorted(
+            (f"{prefix}{i.path}", int(i.size))
+            for i in infos
+            if i.type == pafs.FileType.File and pat.search(i.path)
+        )
     root = _local_path(path)
     if not os.path.isdir(root):
         raise FileNotFoundError(f"no blocks directory under {out_dir}")
-    return sorted(glob.glob(f"{root}/bucket=*/*.parquet"))
+    return sorted((p, os.path.getsize(p))
+                  for p in glob.glob(f"{root}/bucket=*/*.parquet"))
+
+
+#: Files larger than this split into row-group-range tasks (Spark's own
+#: files.maxPartitionBytes default). Encoded blobs are already compressed,
+#: so ~this many bytes per task is also ~the decode working set.
+DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _rg_ranges(path: str, split_bytes: int) -> list[tuple[int, int]]:
+    """Row-group ranges [(lo, hi), ...] covering one oversized bucket file,
+    each ~split_bytes of encoded data, cut ONLY where block_id changes (a
+    (block, column) group spans consecutive row groups and must stay whole).
+    Leading dictionary row groups (block_id = -1) belong to no range — every
+    split task re-reads them. One footer read, driver-side, only for files
+    already past the split threshold."""
+    md = _open_parquet(path).metadata
+    bid_idx = md.schema.to_arrow_schema().get_field_index("block_id")
+    ranges: list[tuple[int, int]] = []
+    lo = None
+    acc = 0
+    prev_bid = None
+    for rg in range(md.num_row_groups):
+        rgmd = md.row_group(rg)
+        st = rgmd.column(bid_idx).statistics
+        bid = int(st.min) if st is not None and st.has_min_max else None
+        if bid is not None and bid < 0:
+            continue  # dict row group: shared by all ranges
+        if lo is None:
+            lo = rg
+        elif bid != prev_bid and acc >= split_bytes:
+            ranges.append((lo, rg))
+            lo, acc = rg, 0
+        acc += rgmd.total_byte_size
+        prev_bid = bid
+    if lo is not None:
+        ranges.append((lo, md.num_row_groups))
+    return ranges or [(0, md.num_row_groups)]
+
+
+def _scan_units(files: list[tuple[str, int]], split_bytes: int | None,
+                ) -> list[tuple[str, int, int]]:
+    """Task units (path, rg_lo, rg_hi) for a sized file list; (-1, -1) means
+    the whole file. Files above split_bytes fan out into row-group ranges so
+    one skewed giant bucket decodes with many tasks instead of one —
+    a reader of someone else's table can't re-bucket, but it can split."""
+    units: list[tuple[str, int, int]] = []
+    for path, size in files:
+        if split_bytes is not None and size > split_bytes:
+            units.extend((path, lo, hi) for lo, hi in _rg_ranges(path, split_bytes))
+        else:
+            units.append((path, -1, -1))
+    return units
 
 
 def scan(
@@ -748,6 +864,7 @@ def scan(
     out_dir: str,
     columns: list[str] | None = None,
     predicate: "Predicate | And | Or | Not | list | None" = None,
+    split_bytes: int | None = DEFAULT_SPLIT_BYTES,
 ) -> DataFrame:
     """Decode the encoded table back to rows, with block pruning + pushed
     predicates. ``predicate`` is a single Predicate, a list (= conjunction,
@@ -764,7 +881,10 @@ def scan(
     task from a stats-only columnar read, so pruned blobs are never fetched
     from disk and the prune itself is distributed. Parallelism = number of
     buckets; at scale you raise EncodeConfig.buckets (same knob that sizes
-    encode tasks), keeping #files >> cores.
+    encode tasks), keeping #files >> cores — and files above ``split_bytes``
+    additionally fan out into row-group-range tasks, so one skewed giant
+    bucket (or a table someone else encoded with too few buckets) still
+    decodes in parallel. ``split_bytes=None`` disables splitting.
     """
     meta = read_meta(spark, out_dir)
     logical: dict[str, str] = meta["logical"]
@@ -774,11 +894,13 @@ def scan(
     expr = _normalize_expr(_as_expr(predicate), logical)
     if columns is None:
         columns = list(logical)
-    files = _list_block_files(out_dir, spark)
+    units = _scan_units(_list_block_files(out_dir, spark), split_bytes)
     out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in columns)
-    if not files:
+    if not units:
         return spark.createDataFrame([], out_schema)
-    tasks = spark.createDataFrame([(p,) for p in files], "path string").repartition(len(files))
+    tasks = spark.createDataFrame(
+        units, "path string, rg_lo int, rg_hi int"
+    ).repartition(len(units))
     return tasks.mapInArrow(
         partial(_decode_tasks, logical, list(columns), expr, gdicts), out_schema
     )
@@ -791,10 +913,8 @@ def _count_file(path: str, logical: dict[str, str], expr, gdicts: dict) -> int:
     reference's count-only converter sink, SURVEY §2.5 Q7, taken to its
     logical end); definite-no-match blocks are skipped; only boundary blocks
     decode — and only their PREDICATE columns, never the payload."""
-    import pyarrow.parquet as pq
-
     expr = _as_expr(expr)
-    f = pq.ParquetFile(path)
+    f = _open_parquet(path)
     stats = f.read(columns=_STATS_COLS)
     if expr is None:
         bids = stats.column("block_id").to_pylist()
@@ -834,8 +954,12 @@ def _decode_tasks_multi(logical: dict[str, str], columns: list[str], expr,
     for batch in it:
         paths = batch.column("path").to_pylist()
         dirs = batch.column("dir_id").to_pylist()
-        for path, di in zip(paths, dirs):
-            yield from _decode_file(path, logical, columns, expr, gdicts_list[di])
+        los = batch.column("rg_lo").to_pylist()
+        his = batch.column("rg_hi").to_pylist()
+        for path, di, lo, hi in zip(paths, dirs, los, his):
+            rng = None if lo < 0 else (lo, hi)
+            yield from _decode_file(path, logical, columns, expr,
+                                    gdicts_list[di], rg_range=rng)
 
 
 def scan_many(
@@ -843,6 +967,7 @@ def scan_many(
     out_dirs: list[str],
     columns: list[str] | None = None,
     predicate: "Predicate | And | Or | Not | list | None" = None,
+    split_bytes: int | None = DEFAULT_SPLIT_BYTES,
 ) -> DataFrame:
     """Scan MANY encoded directories as one table in ONE job: a single
     file-task list spanning every directory feeds one mapInArrow, so a
@@ -867,13 +992,17 @@ def scan_many(
     expr = _normalize_expr(_as_expr(predicate), logical)
     if columns is None:
         columns = list(logical)
-    files = [
-        (p, i) for i, d in enumerate(out_dirs) for p in _list_block_files(d, spark)
+    units = [
+        (p, i, lo, hi)
+        for i, d in enumerate(out_dirs)
+        for p, lo, hi in _scan_units(_list_block_files(d, spark), split_bytes)
     ]
     out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in columns)
-    if not files:
+    if not units:
         return spark.createDataFrame([], out_schema)
-    tasks = spark.createDataFrame(files, "path string, dir_id int").repartition(len(files))
+    tasks = spark.createDataFrame(
+        units, "path string, dir_id int, rg_lo int, rg_hi int"
+    ).repartition(len(units))
     return tasks.mapInArrow(
         partial(_decode_tasks_multi, logical, list(columns), expr, gdicts_list),
         out_schema,
@@ -895,7 +1024,7 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
 
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
     expr = _normalize_expr(_as_expr(predicate), logical)
-    files = _list_block_files(out_dir, spark)
+    files = [p for p, _ in _list_block_files(out_dir, spark)]
     if not files:
         return 0
 

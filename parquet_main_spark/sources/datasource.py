@@ -252,10 +252,12 @@ class EncodedTableReader(DataSourceReader):
                 self.preds.append(p)
 
     def partitions(self) -> list[InputPartition]:
-        from ..operators.decode import _list_block_files
+        from ..operators.decode import (
+            DEFAULT_SPLIT_BYTES, _list_block_files, _scan_units,
+        )
 
-        files = _list_block_files(self.out_dir)
-        return [InputPartition(p) for p in files] or [InputPartition(None)]
+        units = _scan_units(_list_block_files(self.out_dir), DEFAULT_SPLIT_BYTES)
+        return [InputPartition(u) for u in units] or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
         from ..operators.decode import _decode_file
@@ -264,13 +266,15 @@ class EncodedTableReader(DataSourceReader):
             return
         from ..operators.decode import _as_expr
 
+        path, rg_lo, rg_hi = partition.value
         # column pruning reaches the physical layer: _decode_file skips the
         # row groups of unrequested columns entirely (one block-row per row
         # group + col statistics), so selecting a narrow column never reads
-        # the html/text blobs
+        # the html/text blobs; oversized bucket files arrive as row-group
+        # ranges (sub-bucket split) so a skewed bucket still parallelizes
         yield from _decode_file(
-            partition.value, self.logical, self.columns, _as_expr(self.preds),
-            self.gdicts,
+            path, self.logical, self.columns, _as_expr(self.preds),
+            self.gdicts, rg_range=None if rg_lo < 0 else (rg_lo, rg_hi),
         )
 
 
@@ -332,7 +336,7 @@ class EncodedBatchesStreamReader(DataSourceStreamReader):
 
         parts = []
         for b in range(int(start["next"]), int(end["next"])):
-            for p in _list_block_files(f"{self.out_root}/batch={b}"):
+            for p, _size in _list_block_files(f"{self.out_root}/batch={b}"):
                 parts.append(InputPartition(p))
         return parts or [InputPartition(None)]
 

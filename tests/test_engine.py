@@ -890,3 +890,123 @@ def test_resume_vector_table_byte_identity(spark, tmp_path):
     l2 = {r["bucket"]: r["content_sha"]
           for r in spark.read.parquet(f"{ref}/lineage").collect()}
     assert l1 == l2
+
+
+def test_sub_bucket_split_scan(spark, tmp_path):
+    """A deliberately SINGLE-bucket table (one giant file — e.g. a table
+    someone else encoded with too few buckets) must scan with MANY tasks
+    when split_bytes is small: _scan_units fans the file into row-group
+    ranges cut at block-group boundaries, and the split scan is
+    byte-identical to the unsplit one — with and without predicates and
+    column pruning."""
+    from parquet_main_spark.operators.decode import (
+        _list_block_files, _rg_ranges, _scan_units, scan_count,
+    )
+
+    df = webpages(spark, 1500, partitions=4)
+    out = str(tmp_path / "onebucket")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=1, block_size=128,
+                                         snapshot_id="s1"))
+    files = _list_block_files(out)
+    assert len(files) == 1 and files[0][1] > 0
+    path = files[0][0]
+
+    split = 64 * 1024  # force many ranges on a ~MB file
+    units = _scan_units(files, split)
+    assert len(units) > 1 and all(u[0] == path for u in units)
+
+    # ranges tile the data row groups exactly once, cut at block boundaries
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    bid_idx = md.schema.to_arrow_schema().get_field_index("block_id")
+    rg_bid = [int(md.row_group(rg).column(bid_idx).statistics.min)
+              for rg in range(md.num_row_groups)]
+    data_rgs = [rg for rg, b in enumerate(rg_bid) if b >= 0]
+    covered = sorted(rg for _, lo, hi in units for rg in range(lo, hi)
+                     if rg_bid[rg] >= 0)
+    assert covered == data_rgs  # every data rg in exactly one unit
+    for _, lo, hi in units:
+        inside = {rg_bid[rg] for rg in range(lo, hi) if rg_bid[rg] >= 0}
+        for _, lo2, hi2 in units:
+            if (lo2, hi2) == (lo, hi):
+                continue
+            other = {rg_bid[rg] for rg in range(lo2, hi2) if rg_bid[rg] >= 0}
+            assert not (inside & other)  # no block group straddles units
+
+    ranges = _rg_ranges(path, split)
+    assert ranges == [(lo, hi) for _, lo, hi in units]
+
+    full = _sorted_pdf(scan(spark, out, split_bytes=None))
+    got = _sorted_pdf(scan(spark, out, split_bytes=split))
+    full["html"] = full["html"].map(bytes)
+    got["html"] = got["html"].map(bytes)
+    pd.testing.assert_frame_equal(got, full)
+
+    # predicate + column pruning through the split path
+    pred = Predicate("lang", "=", "en")
+    a = _sorted_pdf(scan(spark, out, columns=["url", "lang"], predicate=pred,
+                         split_bytes=split))
+    b = _sorted_pdf(scan(spark, out, columns=["url", "lang"], predicate=pred,
+                         split_bytes=None))
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == df.filter("lang = 'en'").count()
+    assert scan_count(spark, out, pred) == len(a)
+
+
+def test_datasource_splits_oversized_buckets(spark, tmp_path, monkeypatch):
+    """The pms_encoded data source fans oversized bucket files into
+    row-group-range partitions too (its planner has no JVM, so the split
+    happens in pure Python) and still reads the exact table."""
+    from parquet_main_spark.operators import decode as dec
+    from parquet_main_spark.sources.datasource import EncodedTableReader
+
+    df = webpages(spark, 900, partitions=4)
+    out = str(tmp_path / "ds_split")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=1, block_size=128,
+                                         snapshot_id="d1"))
+    monkeypatch.setattr(dec, "DEFAULT_SPLIT_BYTES", 64 * 1024)
+    # datasource.partitions imports the module attr at call time
+    import parquet_main_spark.sources.datasource as ds_mod  # noqa: F401
+
+    reader = EncodedTableReader(out)
+    parts = reader.partitions()
+    assert len(parts) > 1
+    rows = []
+    for p in parts:
+        for batch in reader.read(p):
+            rows.append(batch.to_pandas())
+    got = (pd.concat(rows).sort_values("url").reset_index(drop=True)
+           [["url", "lang"]])
+    want = _sorted_pdf(df)[["url", "lang"]]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_remote_uri_listing_via_pyarrow_fs(spark, tmp_path, monkeypatch):
+    """URI listing without a JVM: when the path is a filesystem URI and no
+    SparkSession is passed (the Python data source planner), the listing
+    goes through pyarrow.fs and returns reopenable URIs + sizes. Driven with
+    file:// (the one URI scheme the sandbox can serve) by treating it as
+    remote for the duration of the test."""
+    import os
+
+    from parquet_main_spark.operators import encode as enc
+    from parquet_main_spark.operators.decode import _list_block_files
+
+    df = webpages(spark, 400, partitions=2)
+    out = str(tmp_path / "remote")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=2, block_size=128,
+                                         snapshot_id="r1"))
+    local = _list_block_files(out)
+    assert len(local) == 2
+
+    real = enc.is_remote_path
+    monkeypatch.setattr(enc, "is_remote_path",
+                        lambda p: p.startswith("file:") or real(p))
+    uris = _list_block_files(f"file://{out}")
+    assert [(u.replace("file://", ""), s) for u, s in uris] == local
+    assert all(u.startswith("file:///") for u, _ in uris)
+    assert all(s == os.path.getsize(u[7:]) for u, s in uris)
+    # a missing table still raises loudly through the pyarrow.fs path
+    with pytest.raises(FileNotFoundError):
+        _list_block_files(f"file://{out}_nope")
