@@ -1,4 +1,5 @@
-"""Python Data Source: transparent ``spark.read`` of engine-encoded tables.
+"""Python Data Source: transparent ``spark.read``/``df.write`` of
+engine-encoded tables.
 
 The reference's encoded files are readable by any stock parquet reader
 (ParquetFileReader.java:703-776); this gives our block format the same
@@ -7,6 +8,7 @@ one-import ergonomics on the Spark side:
     from parquet_main_spark.sources.datasource import register
     register(spark)
     df = spark.read.format("pms_encoded").load(out_dir)
+    df.write.format("pms_encoded").mode("overwrite").save(out_dir)
 
 Catalyst integration: supported filters are CONSUMED by ``pushFilters``
 (Spark 4.1 Python Data Source filter pushdown) and become engine
@@ -34,6 +36,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     EqualNullSafe,
@@ -49,6 +52,7 @@ from pyspark.sql.datasource import (
     LessThanOrEqual,
     Not as DSNot,
     StringStartsWith,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "pms_encoded"
@@ -353,6 +357,287 @@ class EncodedBatchesStreamReader(DataSourceStreamReader):
         pass  # batch dirs are the durable log; nothing to acknowledge
 
 
+class _WriteResult(WriterCommitMessage):
+    """Per-task commit message: the lineage rows of the buckets this task
+    wrote (tiny — the bucket parquet files themselves are written by the
+    task, the reference-writer pattern shared with encode_table)."""
+
+    def __init__(self, lineage: list[dict]):
+        self.lineage = lineage
+
+
+#: Max chunks one writer task may flush; bucket id = offset + pid * spread
+#: + seq keeps ids collision-free across tasks (int32-safe for ~500k tasks).
+_WRITER_SPREAD = 4096
+
+
+class EncodedTableWriter(DataSourceArrowWriter):
+    """``df.write.format("pms_encoded")`` — the write-path ergonomics of the
+    reference's writer builder (ParquetWriterBuilder.java:38-107) on the
+    stock Spark writer surface.
+
+    Spark's Python data source writer hands each input partition to one
+    task; there is no shuffle hook, so EACH PARTITION BECOMES ONE OR MORE
+    BUCKETS (bucket = partition-derived id). Co-location is therefore the
+    caller's move — ``df.repartition(n, key)`` before the write is the
+    bucket_key analog — and codec auto-selection runs per chunk from the
+    same sampled statistics + selector the encode job uses. For the full
+    engine surface (global dictionaries, salting, resume-from-lineage) use
+    ``encode_table``; this writer targets the drop-in
+    ``spark.read``/``df.write`` round trip. Memory per task is bounded by
+    ``bucket_rows`` (chunk flush threshold), not the partition size.
+
+    Options: ``block_size`` (rows per block), ``bucket_rows`` (rows per
+    bucket file chunk), ``order_by`` (comma-separated intra-bucket sort
+    keys; defaults to the first column), ``snapshot_id``, ``plan`` (JSON
+    ``{col: codec}`` forcing, the plan_override analog)."""
+
+    def __init__(self, path: str, schema, overwrite: bool, options):
+        from ..functions.arrow import logical_types
+
+        self.path = path
+        self.logical = logical_types(schema)
+        self.block_size = int(options.get("block_size", 65536))
+        self.bucket_rows = int(options.get("bucket_rows", 1 << 20))
+        self.snapshot_id = options.get("snapshot_id", "write-0")
+        ob = options.get("order_by")
+        self.order_by = ([c.strip() for c in ob.split(",")] if ob
+                         else [next(iter(self.logical))])
+        for c in self.order_by:
+            if c not in self.logical:
+                raise ValueError(f"order_by column {c!r} not in schema")
+        self.plan_override: dict[str, str] = json.loads(options.get("plan", "{}"))
+        self.bucket_offset = 0
+        self._prepare(overwrite)
+
+    # -- driver-side -------------------------------------------------------
+
+    def _prepare(self, overwrite: bool) -> None:
+        import os
+        import shutil
+
+        from ..operators.encode import _local_path, is_remote_path
+
+        if is_remote_path(self.path):
+            import pyarrow.fs as pafs
+            import pyarrow.parquet as pq
+
+            fs, root = pafs.FileSystem.from_uri(self.path)
+            info = fs.get_file_info(f"{root}/meta")
+            exists = info.type != pafs.FileType.NotFound
+            if exists and overwrite:
+                fs.delete_dir_contents(root, missing_dir_ok=True)
+                exists = False
+            if exists:
+                sel = pafs.FileSelector(f"{root}/meta")
+                mf = [i.path for i in fs.get_file_info(sel)
+                      if i.path.endswith(".parquet")]
+                row = pq.read_table(mf[0], filesystem=fs).to_pylist()[0]
+                self._check_append({"logical": json.loads(row["logical_json"])})
+                self.bucket_offset = self._max_bucket() + 1
+            fs.create_dir(f"{root}/blocks", recursive=True)
+            return
+        root = _local_path(self.path)
+        exists = os.path.isdir(f"{root}/meta")
+        if exists and overwrite:
+            for sub in ("blocks", "lineage", "meta"):
+                shutil.rmtree(f"{root}/{sub}", ignore_errors=True)
+            exists = False
+        os.makedirs(f"{root}/blocks", exist_ok=True)
+        if exists:
+            self._check_append(_read_meta_local(self.path))
+            self.bucket_offset = self._max_bucket() + 1
+
+    def _check_append(self, meta: dict | None) -> None:
+        if meta is not None and meta["logical"] != self.logical:
+            raise ValueError(
+                f"append schema mismatch: table has {meta['logical']}, "
+                f"write has {self.logical}"
+            )
+
+    def _max_bucket(self) -> int:
+        import re
+
+        from ..operators.decode import _list_block_files
+
+        try:
+            files = _list_block_files(self.path)
+        except FileNotFoundError:
+            return -1
+        pat = re.compile(r"/bucket=(\d+)/")
+        ids = [int(m.group(1)) for p, _ in files if (m := pat.search(p))]
+        return max(ids, default=-1)
+
+    # -- executor-side -----------------------------------------------------
+
+    def _chunk_plan(self, tbl) -> dict[str, str]:
+        """Sampled-stats codec selection for one chunk — the same
+        column_sample_stats + choose_codec pair the encode job's stats pass
+        uses, on this chunk's own leading sample (a writer task sees only
+        its partition, so the plan is per-chunk by construction; the codec
+        is self-describing per block row, so readers don't care)."""
+        import numpy as np  # noqa: F401  (selector dependency)
+
+        from ..functions.arrow import arrow_to_dense, codec_type
+        from ..plans.selector import choose_codec, column_sample_stats
+
+        sample = tbl.slice(0, 8192)
+        plan: dict[str, str] = {}
+        for col, lt in self.logical.items():
+            if col in self.plan_override:
+                plan[col] = self.plan_override[col]
+                continue
+            vals, _ = arrow_to_dense(sample.column(col), lt)
+            plan[col] = choose_codec(column_sample_stats(vals, codec_type(lt)))
+        return plan
+
+    def write(self, iterator):
+        import pyarrow as pa
+
+        from pyspark import TaskContext
+
+        from ..operators.encode import (
+            _encode_group, _lineage_row, _paths, _write_bucket_file,
+        )
+
+        blocks_path, _, _ = _paths(self.path)
+        pid = TaskContext.get().partitionId()
+        anchor = next(iter(self.logical))
+        forced = frozenset(self.plan_override)
+        lineage: list[dict] = []
+        buf: list = []
+        rows = 0
+        seq = 0
+
+        def flush():
+            nonlocal buf, rows, seq
+            if not buf:
+                return
+            if seq >= _WRITER_SPREAD:
+                raise RuntimeError(
+                    f"partition {pid} exceeds {_WRITER_SPREAD} bucket chunks; "
+                    "raise bucket_rows or repartition the input"
+                )
+            tbl = pa.Table.from_batches(buf)
+            bucket = self.bucket_offset + pid * _WRITER_SPREAD + seq
+            enc = _encode_group(self.logical, self._chunk_plan(tbl),
+                                self.block_size, self.order_by, bucket, tbl,
+                                None, forced)
+            _write_bucket_file(blocks_path, bucket, enc)
+            lineage.append(_lineage_row(anchor, bucket, enc))
+            buf, rows = [], 0
+            seq += 1
+
+        for batch in iterator:
+            # slice at the chunk boundary so one oversized Arrow batch
+            # still honors bucket_rows (Spark may deliver a whole partition
+            # as a single batch)
+            while batch.num_rows > 0:
+                take = min(batch.num_rows, self.bucket_rows - rows)
+                buf.append(batch.slice(0, take))
+                rows += take
+                batch = batch.slice(take)
+                if rows >= self.bucket_rows:
+                    flush()
+        flush()
+        return _WriteResult(lineage)
+
+    # -- driver-side commit ------------------------------------------------
+
+    def commit(self, messages):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..operators.encode import _local_path, _paths, is_remote_path
+
+        _, lineage_path, meta_path = _paths(self.path)
+        rows = [r for m in messages if m is not None for r in m.lineage]
+
+        # majority-vote plan across buckets (informational: blocks are
+        # codec-self-describing; meta.plan mirrors encode_table's report)
+        votes: dict[str, dict[str, int]] = {}
+        for r in rows:
+            for item in json.loads(r["codec_json"]):
+                v = votes.setdefault(item["col"], {})
+                v[item["codec"]] = v.get(item["codec"], 0) + 1
+        plan = {c: max(v.items(), key=lambda kv: (kv[1], kv[0]))[0]
+                for c, v in votes.items()}
+        for c in self.logical:
+            plan.setdefault(c, self.plan_override.get(c, "plain"))
+
+        meta_tbl = pa.table({
+            "snapshot_id": [self.snapshot_id],
+            "logical_json": [json.dumps(self.logical)],
+            "plan_json": [json.dumps(plan, sort_keys=True)],
+            "config_json": [json.dumps({
+                "bucket_key": self.order_by[0],
+                "buckets": len(rows),
+                "block_size": self.block_size,
+                "order_by": self.order_by,
+                "salt": 1, "salt_col": None,
+                "forced": sorted(self.plan_override),
+                "writer": "datasource",
+            })],
+            "gdict_json": [json.dumps({})],
+        })
+        lin_tbl = pa.table({
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int32()),
+            "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+            "n_blocks": pa.array([r["n_blocks"] for r in rows], pa.int64()),
+            "raw_bytes": pa.array([r["raw_bytes"] for r in rows], pa.int64()),
+            "enc_bytes": pa.array([r["enc_bytes"] for r in rows], pa.int64()),
+            "codec_json": pa.array([r["codec_json"] for r in rows], pa.string()),
+            "content_sha": pa.array([r["content_sha"] for r in rows], pa.string()),
+            "snapshot_id": pa.array([self.snapshot_id] * len(rows), pa.string()),
+            "status": pa.array(["done"] * len(rows), pa.string()),
+        })
+        suffix = f"{self.snapshot_id}-{self.bucket_offset}"
+        if is_remote_path(self.path):
+            import pyarrow.fs as pafs
+
+            fs, root = pafs.FileSystem.from_uri(self.path)
+            for sub in ("meta", "lineage"):
+                fs.create_dir(f"{root}/{sub}", recursive=True)
+            pq.write_table(meta_tbl, f"{root}/meta/part-00000.parquet",
+                           filesystem=fs)
+            pq.write_table(lin_tbl, f"{root}/lineage/part-{suffix}.parquet",
+                           filesystem=fs)
+            return
+        import os
+
+        root = _local_path(self.path)
+        os.makedirs(f"{root}/meta", exist_ok=True)
+        os.makedirs(f"{root}/lineage", exist_ok=True)
+        # meta is overwrite-last (append refreshes buckets count), lineage
+        # appends one file per write with a collision-free suffix
+        pq.write_table(meta_tbl, f"{root}/meta/part-00000.parquet")
+        pq.write_table(lin_tbl, f"{root}/lineage/part-{suffix}.parquet")
+
+    def abort(self, messages):
+        """Best-effort cleanup of bucket files from completed tasks (failed
+        tasks' partial files are invisible: _write_bucket_file lands via
+        atomic rename)."""
+        import os
+        import shutil
+
+        from ..operators.encode import _local_path, is_remote_path
+
+        if is_remote_path(self.path):
+            return  # deterministic content: a retry overwrites in place
+        root = _local_path(self.path)
+        for m in messages:
+            if m is None:
+                continue
+            for r in m.lineage:
+                shutil.rmtree(f"{root}/blocks/bucket={r['bucket']}",
+                              ignore_errors=True)
+        if self.bucket_offset == 0 and os.path.isdir(f"{root}/blocks"):
+            try:
+                os.rmdir(f"{root}/blocks")  # only if now empty
+            except OSError:
+                pass
+
+
 class EncodedTableDataSource(DataSource):
     """``spark.read.format("pms_encoded").load(out_dir)`` — and
     ``spark.readStream.format("pms_encoded").load(out_root)`` over an
@@ -377,6 +662,10 @@ class EncodedTableDataSource(DataSource):
         return EncodedTableReader(
             self.options["path"], _columns_option(self.options, meta["logical"])
         )
+
+    def writer(self, schema, overwrite: bool) -> EncodedTableWriter:
+        return EncodedTableWriter(self.options["path"], schema, overwrite,
+                                  self.options)
 
     def streamReader(self, schema) -> EncodedBatchesStreamReader:
         path = self.options["path"]
