@@ -121,7 +121,9 @@ def main() -> None:
         queries[qname] = round(best, 3)
 
     # -- 3. relational + training-data queries from the contract -----------
-    from parquet_main_spark.queries import QUERIES
+    from parquet_main_spark.queries import BENCH_ONLY, QUERIES
+
+    QUERIES = {**QUERIES, **BENCH_ONLY}  # q_events_by_type stays benched
 
     for name in (
         "q01_pricing_summary",

@@ -776,8 +776,43 @@ def _rm_tree(spark: SparkSession, path: str) -> None:
         shutil.rmtree(_local_path(path), ignore_errors=True)
 
 
+def _pa_write_dir(tbl: pa.Table, dir_path: str, filename: str,
+                  clear: bool = False) -> None:
+    """Driver-side parquet write of a tiny table (meta / lineage): a Spark
+    write job costs a scheduler round-trip + committer setup (~1-2 s each,
+    measured) that never shrinks with executors — pure fixed cost against
+    the N->4N scaling criterion. pyarrow writes the same layout Spark's
+    reader consumes, for posix paths and FS URIs alike."""
+    import pyarrow.parquet as pq
+
+    if is_remote_path(dir_path):
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(dir_path)
+        if clear:
+            fs.delete_dir_contents(root, missing_dir_ok=True)
+        fs.create_dir(root, recursive=True)
+        pq.write_table(tbl, f"{root}/{filename}", filesystem=fs)
+        return
+    import os
+    import shutil
+
+    root = _local_path(dir_path)
+    if clear:
+        shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    tmp = f"{root}/.{filename}.inprogress"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, f"{root}/{filename}")
+
+
 def completed_buckets(spark: SparkSession, out_dir: str, snapshot_id: str) -> set[int]:
     _, lineage_path, _ = _paths(out_dir)
+    if not is_remote_path(lineage_path):
+        import os
+
+        if not os.path.isdir(_local_path(lineage_path)):
+            return set()  # fresh table: skip the doomed read's analysis cost
     try:
         rows = (
             spark.read.parquet(lineage_path)
@@ -880,30 +915,28 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
 
     order_by = cfg.order_by or [cfg.bucket_key]
 
-    # persist the plan FIRST so an interrupted run resumes with the same one
-    meta = spark.createDataFrame(
-        [
-            (
-                cfg.snapshot_id,
-                json.dumps(logical),
-                json.dumps(plan, sort_keys=True),
-                json.dumps(
-                    {
-                        "bucket_key": cfg.bucket_key,
-                        "buckets": cfg.buckets,
-                        "block_size": cfg.block_size,
-                        "order_by": order_by,
-                        "salt": cfg.salt,
-                        "salt_col": cfg.salt_col,
-                        "forced": sorted(forced),
-                    }
-                ),
-                json.dumps(gdicts_to_json(gdicts), sort_keys=True),
-            )
-        ],
-        "snapshot_id string, logical_json string, plan_json string, config_json string, gdict_json string",
+    # persist the plan FIRST so an interrupted run resumes with the same
+    # one. Driver-side pyarrow write: a one-row table through a Spark write
+    # job is pure fixed cost (scheduler + committer), hostile to the N->4N
+    # scaling criterion.
+    _pa_write_dir(
+        pa.table({
+            "snapshot_id": [cfg.snapshot_id],
+            "logical_json": [json.dumps(logical)],
+            "plan_json": [json.dumps(plan, sort_keys=True)],
+            "config_json": [json.dumps({
+                "bucket_key": cfg.bucket_key,
+                "buckets": cfg.buckets,
+                "block_size": cfg.block_size,
+                "order_by": order_by,
+                "salt": cfg.salt,
+                "salt_col": cfg.salt_col,
+                "forced": sorted(forced),
+            })],
+            "gdict_json": [json.dumps(gdicts_to_json(gdicts), sort_keys=True)],
+        }),
+        meta_path, "part-00000.parquet", clear=True,
     )
-    meta.write.mode("overwrite").parquet(meta_path)
 
     if not is_remote_path(blocks_path):
         import os
@@ -941,10 +974,29 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         for r in lineage_df.collect()
     ]
     if lineage_rows:
-        spark.createDataFrame(
-            lineage_rows,
-            LINEAGE_TASK_SCHEMA + ", snapshot_id string, status string",
-        ).coalesce(1).write.mode("append").parquet(lineage_path)
+        # append one file per run, driver-side (same fixed-cost argument as
+        # the meta write above); the name is content-derived so a retried
+        # driver appends idempotently instead of duplicating rows
+        import hashlib
+
+        bucket_ids = sorted(r["bucket"] for r in lineage_rows)
+        tag = hashlib.sha1(
+            f"{cfg.snapshot_id}:{bucket_ids}".encode()
+        ).hexdigest()[:12]
+        _pa_write_dir(
+            pa.table({
+                "bucket": pa.array([r["bucket"] for r in lineage_rows], pa.int32()),
+                "n_rows": pa.array([r["n_rows"] for r in lineage_rows], pa.int64()),
+                "n_blocks": pa.array([r["n_blocks"] for r in lineage_rows], pa.int64()),
+                "raw_bytes": pa.array([r["raw_bytes"] for r in lineage_rows], pa.int64()),
+                "enc_bytes": pa.array([r["enc_bytes"] for r in lineage_rows], pa.int64()),
+                "codec_json": pa.array([r["codec_json"] for r in lineage_rows], pa.string()),
+                "content_sha": pa.array([r["content_sha"] for r in lineage_rows], pa.string()),
+                "snapshot_id": pa.array([cfg.snapshot_id] * len(lineage_rows), pa.string()),
+                "status": pa.array(["done"] * len(lineage_rows), pa.string()),
+            }),
+            lineage_path, f"part-{tag}.parquet",
+        )
 
     new_buckets = {r["bucket"] for r in lineage_rows}
     return EncodeResult(blocks_path, lineage_path, plan, len(new_buckets), len(done))

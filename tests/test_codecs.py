@@ -273,3 +273,33 @@ def test_selector_sorted_key_stats_pick_delta():
     st2 = column_sample_stats(shuffled, "int64", assume_sorted=False)
     assert st2["sorted_frac"] < 0.9
     assert choose_codec(st2) != "delta"
+
+
+def test_rle_max_segment_decode_within_2x_of_packed():
+    """The encode-side segment guard caps blocks at max(8, n/64) segments;
+    at that cap the per-segment Python header walk must stay within 2x of
+    the single-packed-segment decode (it is in fact FASTER: RLE fills are
+    slice assignments while packed pays unpack_bits). Pins VERDICT r3
+    watch-item 5 without changing the wire format (bit-stability)."""
+    import time
+
+    rng = np.random.default_rng(0)
+    n = 65536
+    # constant runs of exactly 64 -> the guard's maximum n/64 segments
+    v = np.repeat(rng.integers(0, 1000, n // 64), 64).astype(np.uint64)
+    enc = rle.encode(v, 10)
+    w = rng.permutation(v)  # no runs -> one packed segment
+    encp = rle.encode(w, 10)
+
+    np.testing.assert_array_equal(rle.decode(enc), v)
+    np.testing.assert_array_equal(rle.decode(encp), w)
+
+    def best(buf):
+        b = 1e9
+        for _ in range(9):
+            t0 = time.perf_counter()
+            rle.decode(buf)
+            b = min(b, time.perf_counter() - t0)
+        return b
+
+    assert best(enc) < 2.0 * best(encp)
