@@ -235,13 +235,15 @@ def _columns_option(options, logical: dict[str, str]) -> list[str]:
 
 
 class EncodedTableReader(DataSourceReader):
-    def __init__(self, out_dir: str, columns: list[str] | None = None):
+    def __init__(self, out_dir: str, columns: list[str] | None = None,
+                 split_bytes: int | None = None):
         from ..operators.encode import gdicts_from_json
 
         self.out_dir = out_dir
         meta = _read_meta_local(out_dir)
         self.logical: dict[str, str] = meta["logical"]
         self.columns = list(columns) if columns is not None else list(self.logical)
+        self.split_bytes = split_bytes
         self.gdicts = gdicts_from_json(meta.get("gdicts", {}), self.logical)
         self.preds: list = []
 
@@ -260,7 +262,9 @@ class EncodedTableReader(DataSourceReader):
             DEFAULT_SPLIT_BYTES, _list_block_files, _scan_units,
         )
 
-        units = _scan_units(_list_block_files(self.out_dir), DEFAULT_SPLIT_BYTES)
+        split = (self.split_bytes if self.split_bytes is not None
+                 else DEFAULT_SPLIT_BYTES)
+        units = _scan_units(_list_block_files(self.out_dir), split)
         return [InputPartition(u) for u in units] or [InputPartition(None)]
 
     def read(self, partition: InputPartition):
@@ -659,8 +663,10 @@ class EncodedTableDataSource(DataSource):
 
     def reader(self, schema) -> EncodedTableReader:
         meta = _read_meta_local(self.options["path"])
+        sb = self.options.get("split_bytes")
         return EncodedTableReader(
-            self.options["path"], _columns_option(self.options, meta["logical"])
+            self.options["path"], _columns_option(self.options, meta["logical"]),
+            split_bytes=int(sb) if sb is not None else None,
         )
 
     def writer(self, schema, overwrite: bool) -> EncodedTableWriter:

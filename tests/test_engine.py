@@ -1079,3 +1079,110 @@ def test_datasource_writer_chunking_and_schema_guard(spark, tmp_path):
     with _pytest.raises(Exception, match="schema mismatch"):
         (bad.write.format(FORMAT_NAME).mode("append")
             .option("block_size", "64").save(out))
+
+
+@pytest.fixture(scope="module")
+def single_bucket_file(spark, tmp_path_factory):
+    """One deliberately-unsplit bucket file + its full decode, shared by the
+    split-property tests (encode once, fuzz split_bytes cheaply)."""
+    out = str(tmp_path_factory.mktemp("splitprop"))
+    df = webpages(spark, 1200, partitions=4)
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=1, block_size=96,
+                                         snapshot_id="sp"))
+    from parquet_main_spark.operators.decode import _list_block_files
+
+    (path, size), = _list_block_files(out)
+    meta = read_meta(spark, out)
+    return out, path, size, meta
+
+
+def test_split_ranges_property(spark, single_bucket_file):
+    """For ANY split_bytes, _rg_ranges must tile the data row groups exactly
+    once, cut only where block_id changes, and the concatenated decode of
+    the units must equal the whole-file decode (hypothesis fuzz — pure
+    pyarrow per example, the Spark encode runs once in the fixture)."""
+    import pyarrow.parquet as pq
+
+    from hypothesis import given, settings, strategies as st
+
+    from parquet_main_spark.operators.decode import _decode_file, _rg_ranges
+    from parquet_main_spark.operators.encode import gdicts_from_json
+
+    out, path, size, meta = single_bucket_file
+    md = pq.ParquetFile(path).metadata
+    bid_idx = md.schema.to_arrow_schema().get_field_index("block_id")
+    rg_bid = [int(md.row_group(rg).column(bid_idx).statistics.min)
+              for rg in range(md.num_row_groups)]
+    data_rgs = [rg for rg, b in enumerate(rg_bid) if b >= 0]
+    gd = gdicts_from_json(meta.get("gdicts", {}), meta["logical"])
+
+    def decode_units(ranges):
+        import pyarrow as pa
+
+        batches = []
+        for lo, hi in ranges:
+            batches.extend(_decode_file(path, meta["logical"], ["url", "lang"],
+                                        [], gd, rg_range=(lo, hi)))
+        t = pa.Table.from_batches(batches)
+        return t.sort_by([("url", "ascending")])
+
+    whole = decode_units([(0, md.num_row_groups)])
+
+    @settings(max_examples=25, deadline=None)
+    @given(split=st.integers(min_value=1, max_value=size * 2))
+    def check(split):
+        ranges = _rg_ranges(path, split)
+        covered = sorted(rg for lo, hi in ranges for rg in range(lo, hi)
+                         if rg_bid[rg] >= 0)
+        assert covered == data_rgs
+        # a block's row groups never straddle two ranges
+        for lo, hi in ranges:
+            if lo > 0 and rg_bid[lo] >= 0 and rg_bid[lo - 1] >= 0:
+                assert rg_bid[lo] != rg_bid[lo - 1]
+        assert decode_units(ranges).equals(whole)
+
+    check()
+
+
+def test_datasource_writer_deterministic(spark, tmp_path):
+    """Same input + same partitioning -> byte-identical bucket files from
+    the DS writer (the engine's determinism invariant, FIXTURES.md 3,
+    extended to the write-side data source)."""
+    import glob
+    import hashlib
+
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    df = webpages(spark, 600, partitions=3)
+
+    def shas(out):
+        (df.write.format(FORMAT_NAME).mode("overwrite")
+           .option("block_size", "128").option("bucket_rows", "200").save(out))
+        return {
+            p.split("blocks/")[1]: hashlib.sha256(open(p, "rb").read()).hexdigest()
+            for p in glob.glob(f"{out}/blocks/bucket=*/*.parquet")
+        }
+
+    a = shas(str(tmp_path / "w1"))
+    b = shas(str(tmp_path / "w2"))
+    assert a == b and len(a) >= 3
+
+
+def test_datasource_split_bytes_option(spark, tmp_path):
+    """.option("split_bytes", n) fans an oversized bucket into multiple
+    input partitions through the real spark.read path, with identical
+    results."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    out = str(tmp_path / "dsopt")
+    df = webpages(spark, 800, partitions=4)
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=1, block_size=128,
+                                         snapshot_id="o1"))
+    rd = (spark.read.format(FORMAT_NAME).option("split_bytes", str(64 * 1024))
+          .load(out))
+    assert rd.rdd.getNumPartitions() > 1
+    got = _sorted_pdf(rd.select("url", "lang"))
+    want = _sorted_pdf(df)[["url", "lang"]]
+    pd.testing.assert_frame_equal(got, want)
