@@ -1002,6 +1002,24 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
     return EncodeResult(blocks_path, lineage_path, plan, len(new_buckets), len(done))
 
 
+def rebucket(spark: SparkSession, src_dir: str, cfg: EncodeConfig,
+             split_bytes: int | None = None) -> EncodeResult:
+    """Re-encode an existing encoded table under a new bucketing config —
+    the repair path for a table written with too few buckets or a skewed
+    bucket key (e.g. by another team's writer). The source reads through
+    scan(), whose sub-bucket split keeps even ONE giant bucket parallel
+    (``split_bytes`` forwards to it), and the target is a fresh
+    encode_table run: stats-sampled plan, global dicts, lineage — the full
+    surface, not a file copy. src_dir and cfg.out_dir must differ."""
+    from .decode import DEFAULT_SPLIT_BYTES, scan
+
+    if src_dir.rstrip("/") == cfg.out_dir.rstrip("/"):
+        raise ValueError("rebucket needs a fresh out_dir (src would be "
+                         "clobbered mid-read)")
+    sb = DEFAULT_SPLIT_BYTES if split_bytes is None else split_bytes
+    return encode_table(spark, scan(spark, src_dir, split_bytes=sb), cfg)
+
+
 def gdicts_to_json(gdicts: dict[str, np.ndarray]) -> dict[str, list]:
     return {col: arr.tolist() for col, arr in gdicts.items()}
 

@@ -1186,3 +1186,30 @@ def test_datasource_split_bytes_option(spark, tmp_path):
     got = _sorted_pdf(rd.select("url", "lang"))
     want = _sorted_pdf(df)[["url", "lang"]]
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_rebucket_repairs_single_bucket_table(spark, tmp_path):
+    """rebucket(): a 1-bucket table re-encodes to N buckets with identical
+    content (the repair for someone else's under-bucketed table); the
+    source reads split-parallel so the one giant bucket is not a single
+    task."""
+    from parquet_main_spark.operators.encode import rebucket
+
+    src = str(tmp_path / "rb_src")
+    dst = str(tmp_path / "rb_dst")
+    df = webpages(spark, 900, partitions=3)
+    encode_table(spark, df, EncodeConfig(out_dir=src, buckets=1, block_size=128,
+                                         snapshot_id="r1"))
+    res = rebucket(spark, src, EncodeConfig(out_dir=dst, buckets=8, block_size=128,
+                                            snapshot_id="r2"),
+                   split_bytes=64 * 1024)
+    assert res.encoded_buckets == 8
+    a = _sorted_pdf(scan(spark, dst))
+    b = _sorted_pdf(scan(spark, src))
+    a["html"] = a["html"].map(bytes)
+    b["html"] = b["html"].map(bytes)
+    pd.testing.assert_frame_equal(a, b[a.columns.tolist()])
+
+    with pytest.raises(ValueError, match="fresh out_dir"):
+        rebucket(spark, src, EncodeConfig(out_dir=src, buckets=4,
+                                          snapshot_id="r3"))
