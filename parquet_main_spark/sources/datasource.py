@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualNullSafe,
     EqualTo,
@@ -397,6 +398,10 @@ class EncodedTableWriter(DataSourceArrowWriter):
     ``{col: codec}`` forcing, the plan_override analog)."""
 
     def __init__(self, path: str, schema, overwrite: bool, options):
+        self._init_common(path, schema, options)
+        self._prepare(overwrite)
+
+    def _init_common(self, path: str, schema, options) -> None:
         from ..functions.arrow import logical_types
 
         self.path = path
@@ -412,7 +417,6 @@ class EncodedTableWriter(DataSourceArrowWriter):
                 raise ValueError(f"order_by column {c!r} not in schema")
         self.plan_override: dict[str, str] = json.loads(options.get("plan", "{}"))
         self.bucket_offset = 0
-        self._prepare(overwrite)
 
     # -- driver-side -------------------------------------------------------
 
@@ -495,16 +499,19 @@ class EncodedTableWriter(DataSourceArrowWriter):
             plan[col] = choose_codec(column_sample_stats(vals, codec_type(lt)))
         return plan
 
-    def write(self, iterator):
+    def _encode_partition_chunks(self, iterator, blocks_path: str,
+                                 bucket_offset: int) -> list[dict]:
+        """Shared chunk loop for the batch and streaming writers: slice the
+        incoming Arrow batches into bucket_rows-bounded chunks, encode each
+        as one bucket file under blocks_path, return the lineage rows."""
         import pyarrow as pa
 
         from pyspark import TaskContext
 
         from ..operators.encode import (
-            _encode_group, _lineage_row, _paths, _write_bucket_file,
+            _encode_group, _lineage_row, _write_bucket_file,
         )
 
-        blocks_path, _, _ = _paths(self.path)
         pid = TaskContext.get().partitionId()
         anchor = next(iter(self.logical))
         forced = frozenset(self.plan_override)
@@ -523,7 +530,7 @@ class EncodedTableWriter(DataSourceArrowWriter):
                     "raise bucket_rows or repartition the input"
                 )
             tbl = pa.Table.from_batches(buf)
-            bucket = self.bucket_offset + pid * _WRITER_SPREAD + seq
+            bucket = bucket_offset + pid * _WRITER_SPREAD + seq
             enc = _encode_group(self.logical, self._chunk_plan(tbl),
                                 self.block_size, self.order_by, bucket, tbl,
                                 None, forced)
@@ -544,18 +551,28 @@ class EncodedTableWriter(DataSourceArrowWriter):
                 if rows >= self.bucket_rows:
                     flush()
         flush()
-        return _WriteResult(lineage)
+        return lineage
+
+    def write(self, iterator):
+        from ..operators.encode import _paths
+
+        blocks_path, _, _ = _paths(self.path)
+        return _WriteResult(
+            self._encode_partition_chunks(iterator, blocks_path,
+                                          self.bucket_offset)
+        )
 
     # -- driver-side commit ------------------------------------------------
 
-    def commit(self, messages):
+    def _write_meta_lineage(self, table_dir: str, rows: list[dict],
+                            suffix: str) -> None:
+        """Driver-side meta + lineage for one committed table dir (the
+        batch writer's out_dir, or one batch=N dir of the stream writer).
+        Lineage is written LAST — its presence is the readiness signal the
+        streaming reader and _ready_batches key on."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        from ..operators.encode import _local_path, _paths, is_remote_path
-
-        _, lineage_path, meta_path = _paths(self.path)
-        rows = [r for m in messages if m is not None for r in m.lineage]
+        from ..operators.encode import _pa_write_dir
 
         # majority-vote plan across buckets (informational: blocks are
         # codec-self-describing; meta.plan mirrors encode_table's report)
@@ -595,27 +612,15 @@ class EncodedTableWriter(DataSourceArrowWriter):
             "snapshot_id": pa.array([self.snapshot_id] * len(rows), pa.string()),
             "status": pa.array(["done"] * len(rows), pa.string()),
         })
-        suffix = f"{self.snapshot_id}-{self.bucket_offset}"
-        if is_remote_path(self.path):
-            import pyarrow.fs as pafs
-
-            fs, root = pafs.FileSystem.from_uri(self.path)
-            for sub in ("meta", "lineage"):
-                fs.create_dir(f"{root}/{sub}", recursive=True)
-            pq.write_table(meta_tbl, f"{root}/meta/part-00000.parquet",
-                           filesystem=fs)
-            pq.write_table(lin_tbl, f"{root}/lineage/part-{suffix}.parquet",
-                           filesystem=fs)
-            return
-        import os
-
-        root = _local_path(self.path)
-        os.makedirs(f"{root}/meta", exist_ok=True)
-        os.makedirs(f"{root}/lineage", exist_ok=True)
         # meta is overwrite-last (append refreshes buckets count), lineage
         # appends one file per write with a collision-free suffix
-        pq.write_table(meta_tbl, f"{root}/meta/part-00000.parquet")
-        pq.write_table(lin_tbl, f"{root}/lineage/part-{suffix}.parquet")
+        _pa_write_dir(meta_tbl, f"{table_dir}/meta", "part-00000.parquet")
+        _pa_write_dir(lin_tbl, f"{table_dir}/lineage", f"part-{suffix}.parquet")
+
+    def commit(self, messages):
+        rows = [r for m in messages if m is not None for r in m.lineage]
+        self._write_meta_lineage(self.path, rows,
+                                 f"{self.snapshot_id}-{self.bucket_offset}")
 
     def abort(self, messages):
         """Best-effort cleanup of bucket files from completed tasks (failed
@@ -640,6 +645,108 @@ class EncodedTableWriter(DataSourceArrowWriter):
                 os.rmdir(f"{root}/blocks")  # only if now empty
             except OSError:
                 pass
+
+
+class _StreamWriteResult(WriterCommitMessage):
+    """Per-task stream commit message: where the task staged its bucket
+    files plus their lineage rows — commit() moves them into the batch dir
+    once the micro-batch's tasks all succeed."""
+
+    def __init__(self, staging: str, lineage: list[dict]):
+        self.staging = staging
+        self.lineage = lineage
+
+
+class EncodedTableStreamWriter(EncodedTableWriter, DataSourceStreamArrowWriter):
+    """``df.writeStream.format("pms_encoded").start(out_root)`` — each
+    micro-batch lands as a self-contained encoded table under
+    ``out_root/batch=N``, the exact layout encode_stream produces, so
+    scan_batches / compact_batches / the pms_encoded STREAM READER all
+    consume it unchanged (write a stream in, read the same stream back out
+    through one format name).
+
+    Tasks cannot know the batch id (the Python stream-writer protocol only
+    passes it to commit), so each task encodes its chunks into a unique
+    staging dir and returns the location; commit(batchId) moves the staged
+    bucket dirs into ``batch=N/blocks`` (pure renames on posix) and writes
+    meta + lineage LAST — lineage presence is the readiness signal the
+    stream reader keys on, so a half-moved batch is never consumed. A
+    retried batch replaces the whole batch dir (idempotent); an aborted one
+    deletes its staging dirs. Options are those of the batch writer."""
+
+    def __init__(self, path: str, schema, options):
+        self._init_common(path, schema, options)
+
+    def write(self, iterator):
+        import uuid
+
+        staging = f"{self.path}/_staging/{uuid.uuid4().hex}"
+        lineage = self._encode_partition_chunks(iterator, staging, 0)
+        return _StreamWriteResult(staging, lineage)
+
+    def commit(self, messages, batchId: int):
+        import glob
+        import os
+        import shutil
+
+        from ..operators.encode import _local_path, is_remote_path
+
+        batch_dir = f"{self.path}/batch={batchId}"
+        rows: list[dict] = []
+        if is_remote_path(self.path):
+            import pyarrow.fs as pafs
+
+            fs, broot = pafs.FileSystem.from_uri(batch_dir)
+            fs.delete_dir_contents(broot, missing_dir_ok=True)
+            fs.create_dir(f"{broot}/blocks", recursive=True)
+            for m in messages:
+                if m is None:
+                    continue
+                rows.extend(m.lineage)
+                _, sroot = pafs.FileSystem.from_uri(m.staging)
+                sel = pafs.FileSelector(sroot, recursive=True,
+                                        allow_not_found=True)
+                for info in fs.get_file_info(sel):
+                    if info.type == pafs.FileType.File:
+                        rel = info.path[len(sroot):].lstrip("/")
+                        dst = f"{broot}/blocks/{rel}"
+                        fs.create_dir(os.path.dirname(dst), recursive=True)
+                        fs.move(info.path, dst)
+                fs.delete_dir(sroot)
+        else:
+            lroot = _local_path(batch_dir)
+            shutil.rmtree(lroot, ignore_errors=True)  # batch retry replaces
+            os.makedirs(f"{lroot}/blocks", exist_ok=True)
+            for m in messages:
+                if m is None:
+                    continue
+                rows.extend(m.lineage)
+                sroot = _local_path(m.staging)
+                for p in glob.glob(f"{sroot}/bucket=*/*.parquet"):
+                    b = os.path.basename(os.path.dirname(p))
+                    os.makedirs(f"{lroot}/blocks/{b}", exist_ok=True)
+                    os.replace(p, f"{lroot}/blocks/{b}/{os.path.basename(p)}")
+                shutil.rmtree(sroot, ignore_errors=True)
+        self._write_meta_lineage(batch_dir, rows, f"b{batchId}")
+
+    def abort(self, messages, batchId: int):
+        import shutil
+
+        from ..operators.encode import _local_path, is_remote_path
+
+        for m in messages:
+            if m is None:
+                continue
+            if is_remote_path(self.path):
+                import pyarrow.fs as pafs
+
+                fs, sroot = pafs.FileSystem.from_uri(m.staging)
+                try:
+                    fs.delete_dir(sroot)
+                except FileNotFoundError:
+                    pass
+            else:
+                shutil.rmtree(_local_path(m.staging), ignore_errors=True)
 
 
 class EncodedTableDataSource(DataSource):
@@ -672,6 +779,15 @@ class EncodedTableDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> EncodedTableWriter:
         return EncodedTableWriter(self.options["path"], schema, overwrite,
                                   self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "EncodedTableStreamWriter":
+        if overwrite:
+            raise ValueError(
+                "pms_encoded stream sink is append-only (batch=N dirs); "
+                "complete/update output modes are not supported"
+            )
+        return EncodedTableStreamWriter(self.options["path"], schema,
+                                        self.options)
 
     def streamReader(self, schema) -> EncodedBatchesStreamReader:
         path = self.options["path"]

@@ -402,3 +402,62 @@ def test_session_window_exact_gap_boundary(spark, tmp_path):
     g = got[cols].astype(dt).reset_index(drop=True)
     w = want[cols].astype(dt).reset_index(drop=True)
     pd.testing.assert_frame_equal(g, w)
+
+
+def test_datasource_stream_writer(spark, tmp_path):
+    """df.writeStream.format('pms_encoded'): each micro-batch lands as a
+    self-contained encoded batch=N dir (the encode_stream layout), readable
+    by scan_batches and the pms_encoded batch reader; a second wave appends
+    batch 1; lineage is written last so ready-prefix consumers never see a
+    half-moved batch."""
+    import os
+
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+
+    register(spark)
+    src = str(tmp_path / "dsw_src")
+    out_root = str(tmp_path / "dsw_root")
+    ckpt = str(tmp_path / "dsw_ckpt")
+
+    full = webpages(spark, 800, partitions=2)
+    wave1 = full.filter(F.col("url") < "https://host5")
+    wave2 = full.filter(F.col("url") >= "https://host5")
+
+    def drain():
+        stream = spark.readStream.schema(full.schema).parquet(src)
+        q = (stream.writeStream.format(FORMAT_NAME)
+             .option("checkpointLocation", ckpt)
+             .option("block_size", "128")
+             .trigger(availableNow=True)
+             .start(out_root))
+        q.awaitTermination(120)
+
+    wave1.write.mode("append").parquet(src)
+    drain()
+    assert list_batches(out_root) == [0]
+    got1 = _sorted(scan_batches(spark, out_root))
+    want1 = _sorted(wave1)[got1.columns.tolist()]
+    pd.testing.assert_frame_equal(got1, want1)
+    # batch dir is a full table: meta + lineage + blocks
+    for sub in ("meta", "lineage", "blocks"):
+        assert os.path.isdir(f"{out_root}/batch=0/{sub}")
+    assert not os.path.isdir(f"{out_root}/_staging") or not os.listdir(
+        f"{out_root}/_staging"
+    )
+
+    wave2.write.mode("append").parquet(src)
+    drain()
+    assert list_batches(out_root) == [0, 1]
+    got = _sorted(scan_batches(spark, out_root))
+    want = _sorted(full)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
+
+    # the pms_encoded STREAM READER consumes what the stream writer wrote
+    sink = str(tmp_path / "dsw_sink")
+    rckpt = str(tmp_path / "dsw_rckpt")
+    rq = (spark.readStream.format(FORMAT_NAME).load(out_root)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", rckpt)
+          .trigger(availableNow=True).start())
+    rq.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == full.count()
