@@ -172,35 +172,44 @@ def decompress_corpus(buf: bytes | memoryview) -> bytes:
     pos += 4
     enc = np.frombuffer(buf, dtype=np.uint8, count=enc_len, offset=pos)
 
-    luts = []
-    for table in reversed(iters):
-        is_code_lut = np.zeros(256, dtype=bool)
-        hi_lut = np.arange(256, dtype=np.uint8)
-        lo_lut = np.zeros(256, dtype=np.uint8)
+    # Precompose ALL iterations into one 256-entry expansion table:
+    # g(code) = the FULL byte string the pipeline would produce for that
+    # code. One level of pair expansion costs ~6 numpy passes; niter levels
+    # cost 6*niter — the composed table decodes in ~5 passes total via a
+    # variable-length gather (measured ~10x on the bench corpus; encoded
+    # bytes untouched, so bit-stability fixtures hold).
+    #
+    # Composition order: decode applies reversed(iters) sequentially, so
+    # g builds from the identity through iters in ORIGINAL order — when
+    # iteration k's (hi, lo) bytes are looked up, the table already equals
+    # the expansion through iterations 0..k-1, exactly what those bytes
+    # mean in iteration k's alphabet.
+    exp: list[bytes] = [bytes([i]) for i in range(256)]
+    for table in iters:
+        prev = exp
+        exp = list(prev)
         for code, hi, lo in table:
-            is_code_lut[code] = True
-            hi_lut[code] = hi
-            lo_lut[code] = lo
-        luts.append((is_code_lut, hi_lut, lo_lut))
+            exp[code] = prev[hi] + prev[lo]
+
+    lens_lut = np.array([len(e) for e in exp], dtype=np.int32)
+    offs_lut = np.zeros(256, dtype=np.int32)
+    np.cumsum(lens_lut[:-1], out=offs_lut[1:])
+    flat = np.frombuffer(b"".join(exp), dtype=np.uint8)
 
     def expand(a: np.ndarray) -> np.ndarray:
-        for is_code_lut, hi_lut, lo_lut in luts:
-            if len(a) == 0:
-                break
-            is_code = is_code_lut[a]
-            shift = np.cumsum(is_code, dtype=np.int32)
-            starts = np.arange(len(a), dtype=np.int32)
-            starts += shift
-            starts -= is_code  # position of input byte i in output
-            out = np.empty(len(a) + int(shift[-1]), dtype=np.uint8)
-            out[starts] = hi_lut[a]
-            out[starts[is_code] + 1] = lo_lut[a[is_code]]
-            a = out
-        return a
+        lens = lens_lut[a]
+        ends = np.cumsum(lens, dtype=np.int32)  # chunk output < 2^31
+        total = int(ends[-1]) if len(ends) else 0
+        # out[j] = flat[table_off_of_its_code + (j - out_start_of_its_code)]
+        #        = flat[delta_of_its_code + j] — ONE repeat, not two
+        delta = offs_lut[a] - (ends - lens)
+        idx = np.repeat(delta, lens)
+        idx += np.arange(total, dtype=np.int32)
+        return flat[idx]
 
-    # cache-blocked: expansion is per-byte local, so chunks decode
-    # independently (mirrors the encoder's chunked application)
-    pieces = [expand(enc[s : s + CHUNK].copy()) for s in range(0, enc_len, CHUNK)]
+    # chunked: expansion is per-byte local, so chunks decode independently
+    # and the gather index arrays stay cache-sized
+    pieces = [expand(enc[s : s + CHUNK]) for s in range(0, enc_len, CHUNK)]
     if not pieces:
         return b""
     return (np.concatenate(pieces) if len(pieces) > 1 else pieces[0]).tobytes()
