@@ -875,8 +875,8 @@ def _scan_units(files: list[tuple[str, int]], split_bytes: int | None,
     return units
 
 
-def _scan_parallelism(spark: SparkSession, units: list, total_bytes: int,
-                      split_bytes: int | None) -> int:
+def _pack_parallelism(n_units: int, total_bytes: int,
+                      split_bytes: int | None, floor: int) -> int:
     """Task count for a unit list — Spark's own file-partition sizing logic:
     ~split_bytes of encoded data per task, floored at the cluster's default
     parallelism (small tables still use every core) and capped at one task
@@ -884,10 +884,15 @@ def _scan_parallelism(spark: SparkSession, units: list, total_bytes: int,
     per-task dispatch + Python worker round-trip (measured 14% on a
     64-file / 32-core full scan)."""
     if split_bytes is None:
-        return len(units)
+        return n_units
     by_bytes = -(-total_bytes // max(1, split_bytes))  # ceil
-    floor = max(1, spark.sparkContext.defaultParallelism)
-    return max(1, min(len(units), max(floor, by_bytes)))
+    return max(1, min(n_units, max(max(1, floor), by_bytes)))
+
+
+def _scan_parallelism(spark: SparkSession, units: list, total_bytes: int,
+                      split_bytes: int | None) -> int:
+    return _pack_parallelism(len(units), total_bytes, split_bytes,
+                             spark.sparkContext.defaultParallelism)
 
 
 def scan(

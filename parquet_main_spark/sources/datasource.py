@@ -260,13 +260,33 @@ class EncodedTableReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         from ..operators.decode import (
-            DEFAULT_SPLIT_BYTES, _list_block_files, _scan_units,
+            DEFAULT_SPLIT_BYTES, _list_block_files, _pack_parallelism,
+            _scan_units,
         )
 
         split = (self.split_bytes if self.split_bytes is not None
                  else DEFAULT_SPLIT_BYTES)
-        units = _scan_units(_list_block_files(self.out_dir), split)
-        return [InputPartition(u) for u in units] or [InputPartition(None)]
+        files = _list_block_files(self.out_dir)
+        units = _scan_units(files, split)
+        if not units:
+            return [InputPartition(None)]
+        # pack small units / split big ones exactly like scan(): the DS
+        # planner runs on the driver, so the active session supplies the
+        # parallelism floor; without one, fall back to unit-per-partition
+        floor = 0
+        try:
+            from pyspark.sql import SparkSession
+
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                floor = sess.sparkContext.defaultParallelism
+        except Exception:
+            pass
+        n = (_pack_parallelism(len(units), sum(s for _, s in files),
+                               split, floor)
+             if floor else len(units))
+        groups = [units[i::n] for i in range(n)]
+        return [InputPartition(tuple(g)) for g in groups if g]
 
     def read(self, partition: InputPartition):
         from ..operators.decode import _decode_file
@@ -275,16 +295,17 @@ class EncodedTableReader(DataSourceReader):
             return
         from ..operators.decode import _as_expr
 
-        path, rg_lo, rg_hi = partition.value
-        # column pruning reaches the physical layer: _decode_file skips the
-        # row groups of unrequested columns entirely (one block-row per row
-        # group + col statistics), so selecting a narrow column never reads
-        # the html/text blobs; oversized bucket files arrive as row-group
-        # ranges (sub-bucket split) so a skewed bucket still parallelizes
-        yield from _decode_file(
-            path, self.logical, self.columns, _as_expr(self.preds),
-            self.gdicts, rg_range=None if rg_lo < 0 else (rg_lo, rg_hi),
-        )
+        for path, rg_lo, rg_hi in partition.value:
+            # column pruning reaches the physical layer: _decode_file skips
+            # the row groups of unrequested columns entirely (one block-row
+            # per row group + col statistics), so selecting a narrow column
+            # never reads the html/text blobs; oversized bucket files arrive
+            # as row-group ranges (sub-bucket split) so a skewed bucket
+            # still parallelizes
+            yield from _decode_file(
+                path, self.logical, self.columns, _as_expr(self.preds),
+                self.gdicts, rg_range=None if rg_lo < 0 else (rg_lo, rg_hi),
+            )
 
 
 def _ready_batches(out_root: str) -> list[int]:
