@@ -461,3 +461,75 @@ def test_datasource_stream_writer(spark, tmp_path):
           .trigger(availableNow=True).start())
     rq.awaitTermination(120)
     assert spark.read.parquet(sink).count() == full.count()
+
+
+def test_stream_writer_batch_retry_replaces(spark, tmp_path):
+    """A replayed micro-batch commit (same batchId) must REPLACE the batch
+    dir, never duplicate rows — driven through the writer's own protocol
+    surface (Spark only retries on real failures, so the replay is
+    simulated by invoking write+commit twice with the same id)."""
+    import pyarrow as pa
+
+    from parquet_main_spark.sources.datasource import EncodedTableStreamWriter
+
+    out_root = str(tmp_path / "retry_root")
+    df = webpages(spark, 300, partitions=1)
+    schema = df.schema
+    batches = df.toArrow().to_batches()
+
+    w = EncodedTableStreamWriter(out_root, schema, {"block_size": "64"})
+
+    class _Ctx:  # the writer only asks for partitionId()
+        def partitionId(self):
+            return 0
+
+    import pyspark
+
+    orig = pyspark.TaskContext.get
+    pyspark.TaskContext.get = staticmethod(lambda: _Ctx())
+    try:
+        m1 = w.write(iter(batches))
+        w.commit([m1], 0)
+        n1 = scan_batches(spark, out_root).count()
+        m2 = w.write(iter(batches))  # replay of batch 0
+        w.commit([m2], 0)
+    finally:
+        pyspark.TaskContext.get = orig
+    assert list_batches(out_root) == [0]
+    assert scan_batches(spark, out_root).count() == n1 == 300
+
+
+def test_compact_batches_over_stream_writer_dirs(spark, tmp_path):
+    """Batch dirs produced by the pms_encoded STREAM WRITER are full
+    encoded tables, so compact_batches merges them like encode_stream's
+    own output."""
+    from parquet_main_spark.sources.datasource import FORMAT_NAME, register
+    from parquet_main_spark.streaming.ingest import compact_batches
+
+    register(spark)
+    src = str(tmp_path / "cmp_src")
+    out_root = str(tmp_path / "cmp_root")
+    ckpt = str(tmp_path / "cmp_ckpt")
+    dest = str(tmp_path / "cmp_dest")
+
+    full = webpages(spark, 600, partitions=2)
+    w1 = full.filter(F.col("url") < "https://host5")
+    w2 = full.filter(F.col("url") >= "https://host5")
+    for wave in (w1, w2):
+        wave.write.mode("append").parquet(src)
+        q = (spark.readStream.schema(full.schema).parquet(src)
+             .writeStream.format(FORMAT_NAME)
+             .option("checkpointLocation", ckpt)
+             .option("block_size", "128")
+             .trigger(availableNow=True).start(out_root))
+        q.awaitTermination(120)
+    assert list_batches(out_root) == [0, 1]
+
+    compact_batches(spark, out_root, dest,
+                    EncodeConfig(out_dir="ignored", bucket_key="url",
+                                 buckets=4, block_size=128))
+    from parquet_main_spark.operators.decode import scan
+
+    got = _sorted(scan(spark, dest))
+    want = _sorted(full)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
