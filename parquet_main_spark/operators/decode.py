@@ -348,9 +348,14 @@ def _classify_blocks(stats: pa.Table, expr, logical: dict[str, str]):
     returns (may, all) — the block_ids that MAY contain a match and the
     block_ids where EVERY row definitely matches. Conjunctions intersect,
     disjunctions union, and Not swaps via De Morgan:
-    may(NOT c) = universe − all(c), all(NOT c) = universe − may(c) —
-    so negations genuinely prune (blocks where the child definitely
-    all-matches are dropped undecoded) instead of keeping everything."""
+    may(NOT c) = universe − all(c) — so negations genuinely prune (blocks
+    where the child definitely all-matches are dropped undecoded) instead
+    of keeping everything. The all side of Not additionally intersects the
+    child's DEFINITENESS set (blocks whose rows all evaluate the child to
+    a non-NULL verdict): a NULL row makes the child unknown, and
+    NOT(unknown) is unknown — never a match — so ``universe − may(c)``
+    alone would over-count blocks containing NULLs (caught by the
+    tests/test_predicate_property.py fuzzer against the COUNT pushdown)."""
     bids_all = stats.column("block_id").to_pylist()
     universe = {b for b in bids_all if b >= 0}
     # one Arrow filter per referenced column (cached): the Python classifier
@@ -375,39 +380,48 @@ def _classify_blocks(stats: pa.Table, expr, logical: dict[str, str]):
         return got
 
     def walk(e):
+        """(may, all, det): may/all as documented; det = blocks where the
+        expression is DEFINITE (non-NULL) for every row — conservative
+        (intersection across children), exact at leaves."""
         if isinstance(e, Predicate):
             lt = logical[e.col]
             lo_name, hi_name = _stat_cols(lt)
-            may, allm = set(), set()
+            may, allm, det = set(), set(), set()
+            null_test = e.op in ("isnull", "notnull")
             d = col_rows(e.col)
             for i in range(len(d["block_id"])):
                 args = (e, lt, d[lo_name][i], d[hi_name][i],
                         d["null_count"][i], d["n"][i])
+                if null_test or d["null_count"][i] == 0:
+                    det.add(d["block_id"][i])  # null tests are always definite
                 if _block_survives(*args):
                     may.add(d["block_id"][i])
                     if _block_all_match(*args):
                         allm.add(d["block_id"][i])
-            return may, allm
+            return may, allm, det
         if isinstance(e, And):
-            may, allm = set(universe), set(universe)
+            may, allm, det = set(universe), set(universe), set(universe)
             for c in e.children:
-                cm, ca = walk(c)
+                cm, ca, cd = walk(c)
                 may &= cm
                 allm &= ca
-            return may, allm
+                det &= cd
+            return may, allm, det
         if isinstance(e, Or):
-            may, allm = set(), set()
+            may, allm, det = set(), set(), set(universe)
             for c in e.children:
-                cm, ca = walk(c)
+                cm, ca, cd = walk(c)
                 may |= cm
                 allm |= ca
-            return may, allm
+                det &= cd
+            return may, allm, det
         if isinstance(e, Not):
-            cm, ca = walk(e.child)
-            return universe - ca, universe - cm
+            cm, ca, cd = walk(e.child)
+            # NOT(unknown) = unknown: only definite blocks can all-match
+            return universe - ca, cd - cm, cd
         raise TypeError(f"not a predicate expression: {e!r}")
 
-    return walk(expr)
+    return walk(expr)[:2]
 
 
 def _surviving_blocks(stats: pa.Table, expr, logical: dict[str, str]):
