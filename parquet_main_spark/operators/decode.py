@@ -734,11 +734,14 @@ def _as_expr(predicate):
 
 
 def _normalize_expr(expr, logical: dict[str, str]):
-    """Convert leaf values for binary-keyed columns to the byte keys the
-    codec path compares: decimal128 unscaled ints (or decimal.Decimal) ->
-    16-byte order-preserving keys; vector float lists/arrays -> their raw
-    element bytes (exact-vector equality/isin, e.g. embedding dedup probes).
-    Idempotent: bytes pass through untouched."""
+    """Convert leaf values to what the codec path compares: decimal128
+    unscaled ints (or decimal.Decimal) -> 16-byte order-preserving keys;
+    vector float lists/arrays -> their raw element bytes (exact-vector
+    equality/isin, e.g. embedding dedup probes); datetime -> epoch micros
+    (naive datetimes are taken as UTC — the engine's canonical session
+    timezone; pass tz-aware values or int micros to be explicit);
+    date -> epoch days. Idempotent: ints/bytes pass through untouched."""
+    import datetime
     import decimal
 
     from ..functions.arrow import dec128_key, decimal128_params, vector_params
@@ -747,6 +750,19 @@ def _normalize_expr(expr, logical: dict[str, str]):
         if v is None or isinstance(v, (bytes, bytearray)):
             return bytes(v) if isinstance(v, (bytes, bytearray)) else v
         lt = logical.get(col, "")
+        if isinstance(v, datetime.datetime):
+            if lt in ("timestamp", "timestamp_ntz"):
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                d = v - datetime.datetime(1970, 1, 1)
+                # exact integer micros (float .timestamp() loses precision)
+                return (d.days * 86_400_000_000 + d.seconds * 1_000_000
+                        + d.microseconds)
+            return v
+        if isinstance(v, datetime.date):
+            if lt == "date32":
+                return (v - datetime.date(1970, 1, 1)).days
+            return v
         vp = vector_params(lt)
         if vp is not None and isinstance(v, (list, tuple, np.ndarray)):
             return np.asarray(v, dtype=vp[0]).tobytes()

@@ -184,3 +184,127 @@ def _check_expr(fuzz, expr):
 
 def test_predicate_trees_match_kleene_oracle(fuzz_table):
     _check_expr(fuzz_table)
+
+
+# ------------------------------------------------- binary/timestamp table
+
+def _make_pdf2(n=512, seed=23):
+    import datetime
+
+    rng = np.random.default_rng(seed)
+    base = datetime.datetime(2024, 3, 1)
+    ts = [base + datetime.timedelta(minutes=int(m))
+          for m in rng.integers(0, 10_000, n)]
+    blobs = []
+    for i in range(n):
+        L = int(rng.integers(0, 24))
+        b = bytes(rng.integers(0, 256, L, dtype=np.uint8).tolist())
+        # sprinkle 0xFF-prefixed values: the truncate-and-increment stats
+        # bound has no finite value there (max_str = None -> conservative)
+        if i % 37 == 0:
+            b = b"\xff" * 9 + b
+        blobs.append(b)
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "ts": ts,
+        "payload": blobs,
+        "flag": rng.random(n) < 0.4,
+    })
+    for col, frac in (("ts", 0.1), ("payload", 0.12)):
+        pdf.loc[np.asarray(rng.random(n) < frac), col] = None
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def fuzz_table2(spark, tmp_path_factory):
+    from parquet_main_spark.operators.encode import (
+        EncodeConfig, encode_table, gdicts_from_json, read_meta,
+    )
+
+    pdf = _make_pdf2()
+    out = str(tmp_path_factory.mktemp("predfuzz2"))
+    df = spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        "id long, ts timestamp, payload binary, flag boolean",
+    )
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="id",
+                                         buckets=1, block_size=32,
+                                         snapshot_id="fz2"))
+    meta = read_meta(spark, out)
+    gd = gdicts_from_json(meta.get("gdicts", {}), meta["logical"])
+    import glob
+
+    (path,) = glob.glob(f"{out}/blocks/bucket=*/*.parquet")
+    return pdf, path, meta["logical"], gd
+
+
+def _micros(dt):
+    import datetime
+
+    return int((dt - datetime.datetime(1970, 1, 1)).total_seconds() * 1_000_000)
+
+
+_TS_VAL = st.integers(0, 10_000).map(
+    lambda m: __import__("datetime").datetime(2024, 3, 1)
+    + __import__("datetime").timedelta(minutes=m)
+)
+_BIN_VAL = st.one_of(
+    st.binary(min_size=0, max_size=20),
+    st.binary(min_size=0, max_size=6).map(lambda b: b"\xff" * 8 + b),
+)
+
+
+def _leaf2():
+    return st.one_of(
+        st.tuples(st.just("id"), _CMP, _INT_VAL),
+        st.tuples(st.just("ts"), _CMP, _TS_VAL),
+        st.tuples(st.just("payload"), _CMP, _BIN_VAL),
+        st.tuples(st.just("flag"), st.sampled_from(["=", "!="]), st.booleans()),
+        st.tuples(st.just("ts"), st.just("between"),
+                  st.tuples(_TS_VAL, _TS_VAL).map(lambda p: tuple(sorted(p)))),
+        st.tuples(st.just("payload"), st.just("isin"),
+                  st.lists(_BIN_VAL, min_size=1, max_size=4)),
+        st.tuples(st.sampled_from(["ts", "payload"]),
+                  st.sampled_from(["isnull", "notnull"]), st.none()),
+    ).map(lambda t: Predicate(*t))
+
+
+def _tree2(depth=2):
+    if depth == 0:
+        return _leaf2()
+    sub = _tree2(depth - 1)
+    return st.one_of(
+        _leaf2(),
+        st.lists(sub, min_size=2, max_size=3).map(And),
+        st.lists(sub, min_size=2, max_size=3).map(Or),
+        sub.map(Not),
+    )
+
+
+@settings(max_examples=100, deadline=None)
+@given(expr=_tree2())
+def _check_expr2(fuzz, expr):
+    import datetime
+
+    from parquet_main_spark.operators.decode import (
+        _count_file, _decode_file, _normalize_expr,
+    )
+
+    pdf, path, logical, gd = fuzz
+
+    # scan()'s driver-side literal normalization: timestamps -> micros
+    norm = _normalize_expr(expr, logical)
+    batches = list(_decode_file(path, logical, ["id"], norm, gd))
+    got = (np.sort(np.concatenate([b.column("id").to_numpy() for b in batches]))
+           if batches else np.array([], dtype=np.int64))
+
+    # oracle evaluates on the ORIGINAL python values (bytes/datetime compare
+    # natively with the generated literals)
+    t, _f = _kleene(expr, pdf)
+    want = np.sort(pdf["id"].to_numpy()[t])
+    np.testing.assert_array_equal(got, want, err_msg=repr(expr))
+    assert _count_file(path, logical, norm, gd) == len(want), repr(expr)
+
+
+def test_predicate_trees_binary_timestamp(fuzz_table2):
+    _check_expr2(fuzz_table2)
