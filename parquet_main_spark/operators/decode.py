@@ -213,6 +213,17 @@ def _mask_from_ids(ids: np.ndarray, sorted_dict: np.ndarray, pred: Predicate) ->
     raise ValueError(pred.op)
 
 
+def _scalar_for(vals: np.ndarray, v):
+    """Comparison scalar matched to the array dtype. A RAW bytes scalar
+    against an object array goes through numpy's 'S' coercion, which strips
+    trailing NULs — b'' == b'\\x00' came back True (found by the predicate
+    fuzzer); a 0-d object array compares element-wise with Python
+    semantics."""
+    if vals.dtype == object and isinstance(v, (bytes, bytearray)):
+        return np.array(bytes(v), dtype=object)
+    return v
+
+
 def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
     if pred.op == "isin":
         if not len(pred.value):
@@ -222,13 +233,14 @@ def _mask_from_values(vals: np.ndarray, pred: Predicate) -> np.ndarray:
         want = np.asarray(pred.value, dtype=object if vals.dtype == object else None)
         return np.isin(vals, want)
     if pred.op == "between":
-        return (vals >= pred.value[0]) & (vals <= pred.value[1])
+        return ((vals >= _scalar_for(vals, pred.value[0]))
+                & (vals <= _scalar_for(vals, pred.value[1])))
     if pred.op == "startswith":
         import pyarrow.compute as _pc
 
         arr = pa.array(vals, type=pa.string())
         return _pc.starts_with(arr, pred.value).to_numpy(zero_copy_only=False)
-    return _OPS[pred.op](vals, pred.value)
+    return _OPS[pred.op](vals, _scalar_for(vals, pred.value))
 
 
 def _three_valued_and(a, b):
