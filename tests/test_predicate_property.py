@@ -204,13 +204,15 @@ def _make_pdf2(n=512, seed=23):
         if i % 37 == 0:
             b = b"\xff" * 9 + b
         blobs.append(b)
+    tags = [bytes([b]) * (b % 3) for b in rng.integers(0, 6, n)]  # incl. b""
     pdf = pd.DataFrame({
         "id": np.arange(n, dtype=np.int64),
         "ts": ts,
         "payload": blobs,
+        "tag": tags,  # low-cardinality binary -> dictionary translation path
         "flag": rng.random(n) < 0.4,
     })
-    for col, frac in (("ts", 0.1), ("payload", 0.12)):
+    for col, frac in (("ts", 0.1), ("payload", 0.12), ("tag", 0.1)):
         pdf.loc[np.asarray(rng.random(n) < frac), col] = None
     return pdf
 
@@ -225,7 +227,7 @@ def fuzz_table2(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("predfuzz2"))
     df = spark.createDataFrame(
         pdf.astype(object).where(pdf.notna(), None),
-        "id long, ts timestamp, payload binary, flag boolean",
+        "id long, ts timestamp, payload binary, tag binary, flag boolean",
     )
     encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="id",
                                          buckets=1, block_size=32,
@@ -264,7 +266,13 @@ def _leaf2():
                   st.tuples(_TS_VAL, _TS_VAL).map(lambda p: tuple(sorted(p)))),
         st.tuples(st.just("payload"), st.just("isin"),
                   st.lists(_BIN_VAL, min_size=1, max_size=4)),
-        st.tuples(st.sampled_from(["ts", "payload"]),
+        st.tuples(st.just("tag"), _CMP,
+                  st.sampled_from([b"", b"\x00", b"\x01\x01", b"\x03",
+                                   b"\x04\x04", b"\x05\x05\x05"])),
+        st.tuples(st.just("tag"), st.just("isin"),
+                  st.lists(st.sampled_from([b"", b"\x01\x01", b"\x02\x02"]),
+                           min_size=1, max_size=3)),
+        st.tuples(st.sampled_from(["ts", "payload", "tag"]),
                   st.sampled_from(["isnull", "notnull"]), st.none()),
     ).map(lambda t: Predicate(*t))
 
