@@ -77,10 +77,19 @@ def _bin_from_parts(parts_off: np.ndarray, flat: np.ndarray) -> pa.Array:
 
 # ------------------------------------------------------------------ synth
 
+#: Pixel value of flat index j in fake image media_id — plain BIGINT
+#: arithmetic (Knuth multiplicative hash) so a SQL oracle (DuckDB) can
+#: recompute every pixel exactly; same trick as the IVF codebook
+#: (queries.py). Both factors keep media_id*K1 + j*K2 far below 2^63.
+PX_K1 = 2654435761
+PX_K2 = 40503
+
+
 def synth_image_blobs(spark, n: int, partitions: int = 4) -> DataFrame:
     """Deterministic fake-image corpus: (media_id bigint, blob binary).
-    Dimensions and pixels derive from media_id alone, so any two runs (and
-    the tests' expectations) agree byte-for-byte."""
+    Dimensions and pixels derive from media_id alone via integer arithmetic
+    (``px[j] = (media_id*PX_K1 + j*PX_K2) % 256``), so any two runs, the
+    tests' expectations, AND a pure-SQL oracle agree byte-for-byte."""
 
     def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
@@ -89,8 +98,8 @@ def synth_image_blobs(spark, n: int, partitions: int = 4) -> DataFrame:
             for i in ids:
                 w = 8 + int(i) % 9          # 8..16
                 h = 6 + int(i) % 7          # 6..12
-                rng = np.random.default_rng(int(i))
-                px = rng.integers(0, 256, size=w * h, dtype=np.uint8)
+                j = np.arange(w * h, dtype=np.int64)
+                px = ((int(i) * PX_K1 + j * PX_K2) % 256).astype(np.uint8)
                 blobs.append(IMG_MAGIC + struct.pack("<HHB", w, h, 1) + px.tobytes())
             yield pa.RecordBatch.from_arrays(
                 [pa.array(ids, type=pa.int64()), pa.array(blobs, type=pa.binary())],
@@ -229,31 +238,41 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
 # ----------------------------------------------------------------- features
 
 def image_features(decoded: DataFrame) -> DataFrame:
-    """Per-image brightness stats from the raw pixel buffer — one vectorized
-    np.add.reduceat per batch (no per-row Python)."""
+    """Per-image brightness stats from the raw pixel buffer — one pass of
+    vectorized prefix-sum segment sums per batch (no per-row Python).
+
+    Emits both the float stats (mean/std) and the EXACT integer moments
+    ``sum_px``/``sum_sq`` (int64 prefix sums — exact for any image below
+    ~2^53 total brightness) so downstream aggregations can stay in integer
+    space and match a SQL oracle digit-for-digit."""
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
             off, flat, _ = _blob_np(batch.column("pixels"))
             lens = np.diff(off)
-            fl = flat.astype(np.float64)
+            fl = flat.astype(np.int64)
             nz = np.maximum(lens, 1)
             # exact segment sums via prefix sums (reduceat mis-handles
             # zero-length trailing segments)
-            c1 = np.zeros(len(fl) + 1)
+            c1 = np.zeros(len(fl) + 1, dtype=np.int64)
             np.cumsum(fl, out=c1[1:])
-            c2 = np.zeros(len(fl) + 1)
+            c2 = np.zeros(len(fl) + 1, dtype=np.int64)
             np.cumsum(fl * fl, out=c2[1:])
-            mean = (c1[off[1:]] - c1[off[:-1]]) / nz
-            var = np.maximum((c2[off[1:]] - c2[off[:-1]]) / nz - mean * mean, 0.0)
+            s1 = c1[off[1:]] - c1[off[:-1]]
+            s2 = c2[off[1:]] - c2[off[:-1]]
+            mean = s1 / nz
+            var = np.maximum(s2 / nz - mean * mean, 0.0)
             yield pa.RecordBatch.from_arrays(
                 [batch.column("media_id"), pa.array(lens, type=pa.int64()),
+                 pa.array(s1, type=pa.int64()), pa.array(s2, type=pa.int64()),
                  pa.array(mean), pa.array(np.sqrt(var))],
-                ["media_id", "n_pixels", "mean_px", "std_px"],
+                ["media_id", "n_pixels", "sum_px", "sum_sq", "mean_px", "std_px"],
             )
 
     return decoded.mapInArrow(
-        run, "media_id bigint, n_pixels bigint, mean_px double, std_px double"
+        run,
+        "media_id bigint, n_pixels bigint, sum_px bigint, sum_sq bigint, "
+        "mean_px double, std_px double",
     )
 
 

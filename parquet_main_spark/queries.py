@@ -1846,11 +1846,13 @@ FROM f, unnest(range(0, nf, 4)) AS t(i)
 def ops_image_pipeline(spark, sf_dir):
     """Image pipeline plumbing: deterministic fake-image corpus -> decode
     (stubbed codec, real vectorized header/payload parse) -> nearest-neighbor
-    resize -> brightness features, aggregated per source dimension. Each
-    stage is one mapInArrow pass. The pixel content is seeded randomness, so
-    there is no SQL oracle — the driver records the rows-only check (the
-    pytest suite verifies every stage against per-row numpy oracles,
-    tests/test_multimodal.py)."""
+    resize to 8x8 -> brightness features, aggregated per source dimension.
+    Each stage is one mapInArrow pass. Pixels are BIGINT arithmetic
+    (multimodal.py: px[j] = (media_id*PX_K1 + j*PX_K2) % 256), so the DuckDB
+    oracle re-derives every resized pixel and the integer brightness moments
+    exactly; avg_brightness is ONE division of exact integers (identical
+    IEEE rounding in both engines). Per-stage numpy oracles live in
+    tests/test_multimodal.py."""
     from .operators.multimodal import (
         decode_images, image_features, resize_images, synth_image_blobs,
     )
@@ -1860,13 +1862,44 @@ def ops_image_pipeline(spark, sf_dir):
     joined = decoded.select("media_id", "width", "height").join(
         feats, "media_id"
     )
+    # integer-exact aggregates: sum_px / sum_sq are exact int64 moments of
+    # the 64-pixel resized image; 64*sum_sq - sum_px^2 = 4096 * variance
     return (
         joined.groupBy("width", "height")
         .agg(F.count("*").alias("n_images"),
-             F.round(F.avg("mean_px"), 4).alias("avg_brightness"),
-             F.round(F.avg("std_px"), 4).alias("avg_contrast"))
+             F.sum("sum_px").alias("brightness_sum"),
+             F.sum(F.lit(64) * F.col("sum_sq")
+                   - F.col("sum_px") * F.col("sum_px")).alias("var4096_sum"),
+             (F.sum("sum_px") / (F.count("*") * F.lit(64)))
+             .alias("avg_brightness"))
         .orderBy("width", "height")
     )
+
+
+OPS_IMAGE_SQL = """
+WITH ids AS (
+  SELECT i AS media_id, 8 + i % 9 AS w, 6 + i % 7 AS h
+  FROM range(0, 2000) t(i)
+),
+px AS (  -- nearest-neighbor 8x8 resize: source flat index (y*h//8)*w + (x*w//8)
+  SELECT media_id, w, h,
+         (media_id * 2654435761 +
+          (((y * h) // 8) * w + ((x * w) // 8)) * 40503) % 256 AS p
+  FROM ids, range(0, 8) ty(y), range(0, 8) tx(x)
+),
+per_img AS (
+  SELECT media_id, w, h, SUM(p) AS sp, SUM(p * p) AS sq
+  FROM px GROUP BY media_id, w, h
+)
+SELECT CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(sp) AS BIGINT) AS brightness_sum,
+       CAST(SUM(64 * sq - sp * sp) AS BIGINT) AS var4096_sum,
+       CAST(SUM(sp) AS DOUBLE) / (COUNT(*) * 64) AS avg_brightness
+FROM per_img
+GROUP BY w, h
+ORDER BY width, height
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1980,6 +2013,7 @@ ORACLES: dict[str, str] = {
     "ops_ivf_topk": OPS_IVF_TOPK_SQL,
     "ops_blob_meta": OPS_BLOB_SQL,
     "ops_frame_sample": OPS_FRAMES_SQL,
+    "ops_image_pipeline": OPS_IMAGE_SQL,
 }
 
 #: Queries trimmed from the driver registry to fit its 50-row artifact cap,
