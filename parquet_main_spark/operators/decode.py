@@ -745,14 +745,37 @@ def _as_expr(predicate):
     raise TypeError(f"not a predicate expression: {predicate!r}")
 
 
+def _session_zone():
+    """tzinfo of spark.sql.session.timeZone (predicate normalization runs on
+    the driver, so the active session is available). LookupError when it
+    cannot be resolved — callers then decline the pushdown / fall back to
+    UTC instead of guessing a wrong zone silently."""
+    import datetime
+
+    sess = SparkSession.getActiveSession()
+    if sess is None:
+        raise LookupError("no active SparkSession")
+    name = sess.conf.get("spark.sql.session.timeZone")
+    if name in ("UTC", "Z", "GMT", "+00:00"):
+        return datetime.timezone.utc
+    try:
+        from zoneinfo import ZoneInfo
+
+        return ZoneInfo(name)
+    except Exception as exc:  # unknown zone id / fixed offsets like GMT+8
+        raise LookupError(f"cannot resolve session timezone {name!r}") from exc
+
+
 def _normalize_expr(expr, logical: dict[str, str]):
     """Convert leaf values to what the codec path compares: decimal128
     unscaled ints (or decimal.Decimal) -> 16-byte order-preserving keys;
     vector float lists/arrays -> their raw element bytes (exact-vector
     equality/isin, e.g. embedding dedup probes); datetime -> epoch micros
-    (naive datetimes are taken as UTC — the engine's canonical session
-    timezone; pass tz-aware values or int micros to be explicit);
-    date -> epoch days. Idempotent: ints/bytes pass through untouched."""
+    (naive datetimes resolve in the SESSION timezone for ``timestamp``
+    columns — matching Spark's own timestamp-literal semantics — and as
+    wall-clock/UTC for ``timestamp_ntz``; pass tz-aware values or int
+    micros to be explicit); date -> epoch days. Idempotent: ints/bytes pass
+    through untouched."""
     import datetime
     import decimal
 
@@ -764,6 +787,14 @@ def _normalize_expr(expr, logical: dict[str, str]):
         lt = logical.get(col, "")
         if isinstance(v, datetime.datetime):
             if lt in ("timestamp", "timestamp_ntz"):
+                if v.tzinfo is None and lt == "timestamp":
+                    # instant-typed column: a naive literal means the session
+                    # timezone, exactly as Spark resolves its own timestamp
+                    # literals (timestamp_ntz stays wall-clock == UTC micros)
+                    try:
+                        v = v.replace(tzinfo=_session_zone())
+                    except LookupError:
+                        pass  # no session: keep the documented UTC fallback
                 if v.tzinfo is not None:
                     v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
                 d = v - datetime.datetime(1970, 1, 1)

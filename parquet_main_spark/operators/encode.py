@@ -51,7 +51,7 @@ from ..plans.selector import choose_codec, column_sample_stats
 #: remaining columns live in the per-bucket parquet files the encode tasks
 #: write directly — one row per row group, see _write_bucket_file)
 BLOCKS_SCHEMA = (
-    "bucket int, block_id int, col string, codec string, params string, "
+    "bucket bigint, block_id int, col string, codec string, params string, "
     "n bigint, null_count bigint, validity binary, data binary, dict binary, "
     "min_int bigint, max_int bigint, min_num double, max_num double, "
     "min_str string, max_str string, raw_bytes bigint, enc_bytes bigint, sha256 string"
@@ -61,7 +61,7 @@ BLOCKS_SCHEMA = (
 #: bucket parquet file itself is written by the task, so lineage needs no
 #: second pass over the blocks)
 LINEAGE_TASK_SCHEMA = (
-    "bucket int, n_rows bigint, n_blocks bigint, raw_bytes bigint, "
+    "bucket bigint, n_rows bigint, n_blocks bigint, raw_bytes bigint, "
     "enc_bytes bigint, codec_json string, content_sha string"
 )
 
@@ -452,7 +452,7 @@ def _encode_partition(
         lineage.append(row)
     if lineage:
         yield pa.RecordBatch.from_pylist(lineage, schema=pa.schema([
-            ("bucket", pa.int32()), ("n_rows", pa.int64()), ("n_blocks", pa.int64()),
+            ("bucket", pa.int64()), ("n_rows", pa.int64()), ("n_blocks", pa.int64()),
             ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
             ("codec_json", pa.string()), ("content_sha", pa.string()),
         ]))
@@ -719,7 +719,9 @@ def _encode_group(
         out,
         schema=pa.schema(
             [
-                ("bucket", pa.int32()),
+                # int64 bucket: appends via the DS writer advance ids by
+                # pid-spread jumps, so long-lived tables outgrow int32
+                ("bucket", pa.int64()),
                 ("block_id", pa.int32()),
                 ("col", pa.string()),
                 ("codec", pa.string()),
@@ -985,7 +987,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         ).hexdigest()[:12]
         _pa_write_dir(
             pa.table({
-                "bucket": pa.array([r["bucket"] for r in lineage_rows], pa.int32()),
+                "bucket": pa.array([r["bucket"] for r in lineage_rows], pa.int64()),
                 "n_rows": pa.array([r["n_rows"] for r in lineage_rows], pa.int64()),
                 "n_blocks": pa.array([r["n_blocks"] for r in lineage_rows], pa.int64()),
                 "raw_bytes": pa.array([r["raw_bytes"] for r in lineage_rows], pa.int64()),

@@ -59,19 +59,51 @@ from pyspark.sql.datasource import (
 FORMAT_NAME = "pms_encoded"
 
 
-def _read_meta_local(out_dir: str) -> dict:
-    """Meta table via pyarrow (planning runs on the driver without needing a
-    SparkSession; the meta dir is a single tiny parquet file)."""
+def _meta_files(dir_path: str) -> list:
+    """Parquet files of a tiny driver-read dir (meta / lineage), local or
+    remote. Posix paths glob; FS URIs (hdfs://, s3://, ...) list through
+    pyarrow.fs — planning runs on the driver without a SparkSession, the
+    same no-JVM reach as _list_block_files (decode.py). Returns plain paths
+    for local dirs and (path, filesystem) pairs for remote ones."""
     import glob
 
+    from ..operators.encode import _local_path, is_remote_path
+
+    if is_remote_path(dir_path):
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(dir_path)
+        sel = pafs.FileSelector(root, allow_not_found=True)
+        return sorted(
+            ((i.path, fs) for i in fs.get_file_info(sel)
+             if i.type == pafs.FileType.File and i.path.endswith(".parquet")),
+            key=lambda t: t[0],
+        )
+    return sorted(glob.glob(f"{_local_path(dir_path)}/*.parquet"))
+
+
+def _read_parquet_rows(dir_path: str) -> list[dict]:
+    """All rows of the parquet files under one tiny dir, local or remote."""
     import pyarrow.parquet as pq
 
-    from ..operators.encode import _local_path
+    rows: list[dict] = []
+    for f in _meta_files(dir_path):
+        if isinstance(f, tuple):
+            rows.extend(pq.read_table(f[0], filesystem=f[1]).to_pylist())
+        else:
+            rows.extend(pq.read_table(f).to_pylist())
+    return rows
 
-    files = sorted(glob.glob(f"{_local_path(out_dir)}/meta/*.parquet"))
-    if not files:
+
+def _read_meta(out_dir: str) -> dict:
+    """Meta table via pyarrow (planning runs on the driver without needing a
+    SparkSession; the meta dir is a single tiny parquet file). Local paths
+    and FS URIs both work — the data source reads remote tables end-to-end
+    (the reference reads through any Hadoop FS, ParquetFileReader.java:703)."""
+    rows = _read_parquet_rows(f"{out_dir}/meta")
+    if not rows:
         raise FileNotFoundError(f"no meta table under {out_dir}/meta")
-    row = pq.read_table(files).to_pylist()[0]
+    row = rows[0]
     return {
         "snapshot_id": row["snapshot_id"],
         "logical": json.loads(row["logical_json"]),
@@ -82,25 +114,13 @@ def _read_meta_local(out_dir: str) -> dict:
 
 
 def _session_zone():
-    """tzinfo of spark.sql.session.timeZone (planning runs on the driver, so
-    the active session is available). LookupError when it cannot be resolved —
-    the caller then declines the pushdown instead of guessing."""
-    import datetime
+    """tzinfo of spark.sql.session.timeZone — shared with the scan path's
+    predicate normalization (decode._session_zone). LookupError when it
+    cannot be resolved — the caller then declines the pushdown instead of
+    guessing."""
+    from ..operators.decode import _session_zone as sz
 
-    from pyspark.sql import SparkSession
-
-    sess = SparkSession.getActiveSession()
-    if sess is None:
-        raise LookupError("no active SparkSession")
-    name = sess.conf.get("spark.sql.session.timeZone")
-    if name in ("UTC", "Z", "GMT", "+00:00"):
-        return datetime.timezone.utc
-    try:
-        from zoneinfo import ZoneInfo
-
-        return ZoneInfo(name)
-    except Exception as exc:  # unknown zone id / fixed offsets like GMT+8
-        raise LookupError(f"cannot resolve session timezone {name!r}") from exc
+    return sz()
 
 
 def _filter_to_predicate(f: Filter, logical: dict[str, str], strict_null: bool = False):
@@ -241,7 +261,7 @@ class EncodedTableReader(DataSourceReader):
         from ..operators.encode import gdicts_from_json
 
         self.out_dir = out_dir
-        meta = _read_meta_local(out_dir)
+        meta = _read_meta(out_dir)
         self.logical: dict[str, str] = meta["logical"]
         self.columns = list(columns) if columns is not None else list(self.logical)
         self.split_bytes = split_bytes
@@ -310,16 +330,34 @@ class EncodedTableReader(DataSourceReader):
 
 def _ready_batches(out_root: str) -> list[int]:
     """Batch dirs safe to consume: encode_table writes lineage LAST, so a
-    batch is complete exactly when its lineage dir holds parquet files."""
+    batch is complete exactly when its lineage dir holds parquet files.
+    Local dirs list via os; FS URIs via pyarrow.fs (same driver-side no-JVM
+    planning path as _read_meta)."""
     import glob
     import os
 
+    from ..operators.encode import _local_path, is_remote_path
+
     out = []
-    for name in os.listdir(out_root) if os.path.isdir(out_root) else []:
+    if is_remote_path(out_root):
+        import pyarrow.fs as pafs
+
+        fs, root = pafs.FileSystem.from_uri(out_root)
+        sel = pafs.FileSelector(root, allow_not_found=True)
+        names = [os.path.basename(i.path) for i in fs.get_file_info(sel)
+                 if i.type == pafs.FileType.Directory]
+        for name in names:
+            if not name.startswith("batch="):
+                continue
+            if _meta_files(f"{out_root}/{name}/lineage"):
+                out.append(int(name.split("=", 1)[1]))
+        return sorted(out)
+    lroot = _local_path(out_root)
+    for name in os.listdir(lroot) if os.path.isdir(lroot) else []:
         if not name.startswith("batch="):
             continue
         b = int(name.split("=", 1)[1])
-        if glob.glob(f"{out_root}/{name}/lineage/*.parquet"):
+        if glob.glob(f"{lroot}/{name}/lineage/*.parquet"):
             out.append(b)
     return sorted(out)
 
@@ -342,7 +380,7 @@ class EncodedBatchesStreamReader(DataSourceStreamReader):
                 f"no completed batch= dirs under {out_root}; the streaming "
                 "reader needs at least one encoded batch for its schema"
             )
-        meta = _read_meta_local(f"{out_root}/batch={ready[0]}")
+        meta = _read_meta(f"{out_root}/batch={ready[0]}")
         self.logical: dict[str, str] = meta["logical"]
         self.columns = list(columns) if columns is not None else list(self.logical)
         self.gdicts = gdicts_from_json(meta.get("gdicts", {}), self.logical)
@@ -393,7 +431,10 @@ class _WriteResult(WriterCommitMessage):
 
 
 #: Max chunks one writer task may flush; bucket id = offset + pid * spread
-#: + seq keeps ids collision-free across tasks (int32-safe for ~500k tasks).
+#: + seq keeps ids collision-free across tasks. Each append advances the
+#: offset by up to max(pid)*spread, so ids burn faster than buckets exist —
+#: the bucket column is int64 everywhere (lineage + block rows), which
+#: leaves ~2^51 appends of 4096 tasks before exhaustion.
 _WRITER_SPREAD = 4096
 
 
@@ -438,6 +479,12 @@ class EncodedTableWriter(DataSourceArrowWriter):
                 raise ValueError(f"order_by column {c!r} not in schema")
         self.plan_override: dict[str, str] = json.loads(options.get("plan", "{}"))
         self.bucket_offset = 0
+        # append state: the prior table's meta + lineage rows (commit merges
+        # them so meta stays cumulative and gdicts survive — meta is the
+        # ONLY copy of global dictionaries, losing them on append would
+        # leave gdict-coded blocks undecodable)
+        self._prior_meta: dict | None = None
+        self._prior_lineage: list[dict] = []
 
     # -- driver-side -------------------------------------------------------
 
@@ -449,7 +496,6 @@ class EncodedTableWriter(DataSourceArrowWriter):
 
         if is_remote_path(self.path):
             import pyarrow.fs as pafs
-            import pyarrow.parquet as pq
 
             fs, root = pafs.FileSystem.from_uri(self.path)
             info = fs.get_file_info(f"{root}/meta")
@@ -458,12 +504,7 @@ class EncodedTableWriter(DataSourceArrowWriter):
                 fs.delete_dir_contents(root, missing_dir_ok=True)
                 exists = False
             if exists:
-                sel = pafs.FileSelector(f"{root}/meta")
-                mf = [i.path for i in fs.get_file_info(sel)
-                      if i.path.endswith(".parquet")]
-                row = pq.read_table(mf[0], filesystem=fs).to_pylist()[0]
-                self._check_append({"logical": json.loads(row["logical_json"])})
-                self.bucket_offset = self._max_bucket() + 1
+                self._load_prior()
             fs.create_dir(f"{root}/blocks", recursive=True)
             return
         root = _local_path(self.path)
@@ -474,8 +515,16 @@ class EncodedTableWriter(DataSourceArrowWriter):
             exists = False
         os.makedirs(f"{root}/blocks", exist_ok=True)
         if exists:
-            self._check_append(_read_meta_local(self.path))
-            self.bucket_offset = self._max_bucket() + 1
+            self._load_prior()
+
+    def _load_prior(self) -> None:
+        """Append path: capture the existing table's meta + lineage so
+        commit() can merge instead of clobbering (meta is the only copy of
+        the gdicts; config.buckets / the plan must stay cumulative)."""
+        self._prior_meta = _read_meta(self.path)
+        self._check_append(self._prior_meta)
+        self._prior_lineage = _read_parquet_rows(f"{self.path}/lineage")
+        self.bucket_offset = self._max_bucket() + 1
 
     def _check_append(self, meta: dict | None) -> None:
         if meta is not None and meta["logical"] != self.logical:
@@ -596,9 +645,11 @@ class EncodedTableWriter(DataSourceArrowWriter):
         from ..operators.encode import _pa_write_dir
 
         # majority-vote plan across buckets (informational: blocks are
-        # codec-self-describing; meta.plan mirrors encode_table's report)
+        # codec-self-describing; meta.plan mirrors encode_table's report).
+        # Appends vote over the PRIOR lineage too, so meta reflects the
+        # whole table, not just the latest write.
         votes: dict[str, dict[str, int]] = {}
-        for r in rows:
+        for r in self._prior_lineage + rows:
             for item in json.loads(r["codec_json"]):
                 v = votes.setdefault(item["col"], {})
                 v[item["codec"]] = v.get(item["codec"], 0) + 1
@@ -607,11 +658,17 @@ class EncodedTableWriter(DataSourceArrowWriter):
         for c in self.logical:
             plan.setdefault(c, self.plan_override.get(c, "plain"))
 
-        meta_tbl = pa.table({
-            "snapshot_id": [self.snapshot_id],
-            "logical_json": [json.dumps(self.logical)],
-            "plan_json": [json.dumps(plan, sort_keys=True)],
-            "config_json": [json.dumps({
+        if self._prior_meta is not None:
+            # cumulative config + CARRIED-FORWARD gdicts: meta is the only
+            # copy of the global dictionaries — an append that dropped them
+            # would leave the table's gdict-coded blocks undecodable
+            n_buckets = len({r["bucket"] for r in self._prior_lineage}
+                            | {r["bucket"] for r in rows})
+            config = dict(self._prior_meta["config"])
+            config.update(buckets=n_buckets, writer="datasource")
+            gdict_json = json.dumps(self._prior_meta["gdicts"])
+        else:
+            config = {
                 "bucket_key": self.order_by[0],
                 "buckets": len(rows),
                 "block_size": self.block_size,
@@ -619,11 +676,17 @@ class EncodedTableWriter(DataSourceArrowWriter):
                 "salt": 1, "salt_col": None,
                 "forced": sorted(self.plan_override),
                 "writer": "datasource",
-            })],
-            "gdict_json": [json.dumps({})],
+            }
+            gdict_json = json.dumps({})
+        meta_tbl = pa.table({
+            "snapshot_id": [self.snapshot_id],
+            "logical_json": [json.dumps(self.logical)],
+            "plan_json": [json.dumps(plan, sort_keys=True)],
+            "config_json": [json.dumps(config)],
+            "gdict_json": [gdict_json],
         })
         lin_tbl = pa.table({
-            "bucket": pa.array([r["bucket"] for r in rows], pa.int32()),
+            "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
             "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
             "n_blocks": pa.array([r["n_blocks"] for r in rows], pa.int64()),
             "raw_bytes": pa.array([r["raw_bytes"] for r in rows], pa.int64()),
@@ -644,16 +707,29 @@ class EncodedTableWriter(DataSourceArrowWriter):
                                  f"{self.snapshot_id}-{self.bucket_offset}")
 
     def abort(self, messages):
-        """Best-effort cleanup of bucket files from completed tasks (failed
-        tasks' partial files are invisible: _write_bucket_file lands via
-        atomic rename)."""
+        """Cleanup of bucket files from completed tasks (failed tasks'
+        partial files are invisible: _write_bucket_file lands via atomic
+        rename). Remote tables clean up too — readers list bucket files,
+        not lineage, so leftover buckets from an aborted append would
+        surface as phantom rows and shift the next retry's bucket_offset."""
         import os
         import shutil
 
         from ..operators.encode import _local_path, is_remote_path
 
         if is_remote_path(self.path):
-            return  # deterministic content: a retry overwrites in place
+            import pyarrow.fs as pafs
+
+            fs, root = pafs.FileSystem.from_uri(self.path)
+            for m in messages:
+                if m is None:
+                    continue
+                for r in m.lineage:
+                    try:
+                        fs.delete_dir(f"{root}/blocks/bucket={r['bucket']}")
+                    except FileNotFoundError:
+                        pass
+            return
         root = _local_path(self.path)
         for m in messages:
             if m is None:
@@ -785,12 +861,12 @@ class EncodedTableDataSource(DataSource):
 
         path = self.options["path"]
         ready = _ready_batches(path)
-        meta = _read_meta_local(f"{path}/batch={ready[0]}" if ready else path)
+        meta = _read_meta(f"{path}/batch={ready[0]}" if ready else path)
         cols = _columns_option(self.options, meta["logical"])
         return ", ".join(f"`{c}` {spark_type(meta['logical'][c])}" for c in cols)
 
     def reader(self, schema) -> EncodedTableReader:
-        meta = _read_meta_local(self.options["path"])
+        meta = _read_meta(self.options["path"])
         sb = self.options.get("split_bytes")
         return EncodedTableReader(
             self.options["path"], _columns_option(self.options, meta["logical"]),
@@ -813,7 +889,7 @@ class EncodedTableDataSource(DataSource):
     def streamReader(self, schema) -> EncodedBatchesStreamReader:
         path = self.options["path"]
         ready = _ready_batches(path)
-        meta = _read_meta_local(f"{path}/batch={ready[0]}" if ready else path)
+        meta = _read_meta(f"{path}/batch={ready[0]}" if ready else path)
         return EncodedBatchesStreamReader(
             path, _columns_option(self.options, meta["logical"])
         )
