@@ -31,16 +31,46 @@ def pack_bits(values: np.ndarray, width: int) -> bytes:
 
 
 def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
-    """Inverse of :func:`pack_bits`; returns a uint64 array of length ``n``."""
+    """Inverse of :func:`pack_bits`; returns a uint64 array of length ``n``.
+
+    Fast path (width <= 57): per-value unaligned 8-byte little-endian load
+    via one (n, 8) gather viewed as uint64, then shift + mask — each value's
+    bits [j*width, (j+1)*width) sit within the 64 bits starting at its byte,
+    since (bit_offset & 7) + width <= 7 + 57 <= 64. ~5x faster than the
+    unpackbits bit-matrix route, which stays as the wide-width fallback."""
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) // 8)
+    if width <= 57:
+        return _gather_bits(np.concatenate([raw, np.zeros(8, np.uint8)]),
+                            np.arange(n, dtype=np.int64) * width, width)
     bits = np.unpackbits(raw, bitorder="little", count=n * width)
     bits = bits.reshape(n, width).astype(np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
     return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _gather_bits(padded: np.ndarray, bit_offsets: np.ndarray,
+                 width: int | np.ndarray) -> np.ndarray:
+    """Values of ``width`` (<= 57) bits at arbitrary ``bit_offsets`` of a
+    little-endian bitstream. ``padded`` must be a uint8 array with >= 8 slack
+    bytes after the last addressed bit (so every 8-byte load is in bounds).
+    Neither offsets nor widths need be uniform — the RLE decoder unpacks
+    every packed segment of a block in ONE call despite the byte-padding
+    gaps between segments, and the FOR decoder passes a per-value width
+    array to unpack all its 512-value groups at once."""
+    byte_idx = (bit_offsets >> 3).astype(np.int64)
+    sh = (bit_offsets & 7).astype(np.uint64)
+    b = padded[byte_idx[:, None] + np.arange(8, dtype=np.int64)[None, :]]
+    u = (np.ascontiguousarray(b).view(np.dtype("<u8")).ravel()
+         .astype(np.uint64, copy=False))  # explicit-LE view: no-op on x86
+    if isinstance(width, np.ndarray):
+        mask = (np.uint64(1) << width.astype(np.uint64)) - np.uint64(1)
+    else:
+        mask = np.uint64((1 << width) - 1)
+    return (u >> sh) & mask
 
 
 def bit_width(max_value: int) -> int:

@@ -52,17 +52,50 @@ def encode(values: np.ndarray) -> bytes:
 
 
 def decode(buf: bytes | memoryview) -> np.ndarray:
+    """Vectorized inverse: one pure-int pass over the 9-byte group headers
+    (positions chain through payload sizes), then ONE multi-offset bit
+    gather (_gather_bits with a per-value width array) + one base add for
+    every group at once — no per-group numpy calls. Groups wider than 57
+    bits (packed values near the uint64 span limit) fall back to the exact
+    per-group unpack."""
+    from .bitpack import _gather_bits
+
     buf = memoryview(buf)
     (n,) = struct.unpack_from("<I", buf, 0)
     pos = 4
-    out = np.empty(n, dtype=np.int64)
+    groups: list[tuple[int, int, int, int]] = []  # (g, w, base, payload_pos)
     done = 0
+    wide = False
     while done < n:
         g = min(GROUP, n - done)
         w, base = struct.unpack_from("<Bq", buf, pos)
         pos += 9
-        nbytes = (g * w + 7) // 8
-        out[done : done + g] = unpack_bits(buf[pos : pos + nbytes], g, w).astype(np.int64) + base
-        pos += nbytes
+        groups.append((g, w, base, pos))
+        wide = wide or w > 57
+        pos += (g * w + 7) // 8
         done += g
-    return out
+    if not groups:
+        return np.empty(0, dtype=np.int64)
+    if wide:
+        out = np.empty(n, dtype=np.int64)
+        done = 0
+        for g, w, base, p in groups:
+            nbytes = (g * w + 7) // 8
+            out[done : done + g] = (
+                unpack_bits(buf[p : p + nbytes], g, w).astype(np.int64) + base
+            )
+            done += g
+        return out
+    gs = np.array([t[0] for t in groups], dtype=np.int64)
+    ws = np.array([t[1] for t in groups], dtype=np.int64)
+    bases = np.array([t[2] for t in groups], dtype=np.int64)
+    pposs = np.array([t[3] for t in groups], dtype=np.int64)
+    csum = np.concatenate(([0], np.cumsum(gs)[:-1]))
+    within = np.arange(n, dtype=np.int64) - np.repeat(csum, gs)
+    w_per = np.repeat(ws, gs)
+    bit_off = np.repeat(pposs * 8, gs) + within * w_per
+    padded = np.concatenate(
+        [np.frombuffer(buf, dtype=np.uint8), np.zeros(8, np.uint8)]
+    )
+    vals = _gather_bits(padded, bit_off, w_per)
+    return vals.astype(np.int64) + np.repeat(bases, gs)

@@ -110,6 +110,16 @@ def encode(values: np.ndarray, width: int) -> bytes:
 
 
 def decode(buf: bytes | memoryview) -> np.ndarray:
+    """Two-pass vectorized decode: pass 1 walks the varint headers only
+    (pure-int sequential work — header positions chain through the payload
+    sizes, so this pass is inherently serial but touches no payload bytes);
+    pass 2 materializes ALL RLE segments with one repeat + one scatter and
+    ALL packed segments with one multi-offset bit-gather (_gather_bits),
+    instead of one numpy slice-assign + unpack per segment. The encode-side
+    segment bound (MAX_SEGMENTS_FLOOR/MIN_VALUES_PER_SEGMENT) keeps pass 1
+    short even on adversarial run structure."""
+    from .bitpack import _gather_bits
+
     buf = memoryview(buf)
     width, n = struct.unpack_from("<BI", buf, 0)
     pos = 5
@@ -119,16 +129,64 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
         return out
     vbytes = (width + 7) // 8
     done = 0
+    rle_seg: list[tuple[int, int, int]] = []     # (out_start, cnt, value_pos)
+    packed_seg: list[tuple[int, int, int]] = []  # (out_start, cnt, byte_pos)
     while done < n:
         header, pos = _read_varint(buf, pos)
         cnt = header >> 1
         if header & 1:
-            nbytes = (cnt * width + 7) // 8
-            out[done : done + cnt] = unpack_bits(buf[pos : pos + nbytes], cnt, width)
-            pos += nbytes
+            packed_seg.append((done, cnt, pos))
+            pos += (cnt * width + 7) // 8
         else:
-            value = int.from_bytes(buf[pos : pos + vbytes], "little")
+            rle_seg.append((done, cnt, pos))
             pos += vbytes
-            out[done : done + cnt] = value
         done += cnt
+
+    if packed_seg:
+        if len(packed_seg) == 1 and width > 57:
+            s, cnt, p = packed_seg[0]
+            nb = (cnt * width + 7) // 8
+            out[s : s + cnt] = unpack_bits(buf[p : p + nb], cnt, width)
+        else:
+            # one bit-gather for every packed value of the block: absolute
+            # bit offset = segment payload byte * 8 + within-segment index *
+            # width (byte padding between segments is what stops a single
+            # contiguous unpack)
+            if width > 57:  # adversarial width + many segments: stay exact
+                for s, cnt, p in packed_seg:
+                    nb = (cnt * width + 7) // 8
+                    out[s : s + cnt] = unpack_bits(buf[p : p + nb], cnt, width)
+            else:
+                starts = np.array([g[0] for g in packed_seg], dtype=np.int64)
+                cnts = np.array([g[1] for g in packed_seg], dtype=np.int64)
+                bposs = np.array([g[2] for g in packed_seg], dtype=np.int64)
+                total = int(cnts.sum())
+                csum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+                within = np.arange(total, dtype=np.int64) - np.repeat(csum, cnts)
+                bit_off = np.repeat(bposs * 8, cnts) + within * width
+                padded = np.concatenate(
+                    [np.frombuffer(buf, dtype=np.uint8), np.zeros(8, np.uint8)]
+                )
+                vals = _gather_bits(padded, bit_off, width)
+                out[np.repeat(starts - csum, cnts)
+                    + np.arange(total, dtype=np.int64)] = vals
+
+    if rle_seg:
+        if len(rle_seg) <= 4:
+            for s, cnt, p in rle_seg:
+                out[s : s + cnt] = int.from_bytes(buf[p : p + vbytes], "little")
+        else:
+            raw = np.frombuffer(buf, dtype=np.uint8)
+            starts = np.array([g[0] for g in rle_seg], dtype=np.int64)
+            cnts = np.array([g[1] for g in rle_seg], dtype=np.int64)
+            vposs = np.array([g[2] for g in rle_seg], dtype=np.int64)
+            vb = raw[vposs[:, None] + np.arange(vbytes, dtype=np.int64)[None, :]]
+            weights = np.uint64(1) << (np.arange(vbytes, dtype=np.uint64)
+                                       * np.uint64(8))
+            vals = (vb.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            total = int(cnts.sum())
+            csum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            out[np.repeat(starts - csum, cnts)
+                + np.arange(total, dtype=np.int64)] = np.repeat(vals, cnts)
     return out

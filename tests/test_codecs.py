@@ -303,3 +303,69 @@ def test_rle_max_segment_decode_within_2x_of_packed():
         return b
 
     assert best(enc) < 2.0 * best(encp)
+
+
+def test_rle_decode_many_segment_paths():
+    """The vectorized two-pass decode (r4 brief item: no per-segment numpy
+    work) handles interleaved RLE/packed segment structure exactly, at every
+    width class including the >57-bit fallback."""
+    import numpy as np
+
+    from parquet_main_spark.codecs import rle
+
+    rng = np.random.default_rng(7)
+    for width in (1, 6, 20, 57, 63, 64):
+        hi = (1 << width) - 1 if width < 64 else (1 << 63)
+        chunks = []
+        for i in range(40):
+            chunks.append(np.full(70, i % max(hi, 1), dtype=np.uint64))
+            chunks.append(rng.integers(0, max(hi, 1), 9).astype(np.uint64))
+        v = np.concatenate(chunks)
+        assert (rle.decode(rle.encode(v, width)) == v).all(), width
+
+
+def test_rle_adversarial_runs_decode_within_2x_of_packed():
+    """r4 brief acceptance: adversarial run structure must decode within 2x
+    of the all-packed path (min-of-5 timing; in practice the run-heavy block
+    decodes FASTER — one repeat+scatter vs the full bit gather)."""
+    import time
+
+    import numpy as np
+
+    from parquet_main_spark.codecs import rle
+
+    n = 65536
+    runs = np.repeat(np.arange(n // 80 + 1, dtype=np.uint64) % 50, 80)[:n]
+    rand = np.random.default_rng(3).integers(0, 50, n).astype(np.uint64)
+
+    def best(buf):
+        times = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            rle.decode(buf)
+            times.append(time.perf_counter() - t0)
+        return min(times)
+
+    t_runs = best(rle.encode(runs, 6))
+    t_rand = best(rle.encode(rand, 6))
+    assert t_runs < 2 * t_rand, (t_runs, t_rand)
+
+
+def test_forpack_mixed_width_groups_vectorized():
+    """FOR decode unpacks all 512-value groups in one gather even when group
+    widths differ; wide (>57-bit) groups take the exact fallback."""
+    import numpy as np
+
+    from parquet_main_spark.codecs import forpack
+
+    rng = np.random.default_rng(11)
+    narrow = rng.integers(-50, 50, 512).astype(np.int64)
+    medium = rng.integers(-(1 << 30), 1 << 30, 512).astype(np.int64)
+    constant = np.full(512, 123456789, dtype=np.int64)
+    tail = rng.integers(0, 7, 100).astype(np.int64)
+    v = np.concatenate([narrow, medium, constant, tail])
+    assert (forpack.decode(forpack.encode(v)) == v).all()
+
+    wide = rng.integers(-(1 << 62), 1 << 62, 700).astype(np.int64)
+    mixed = np.concatenate([narrow, wide])
+    assert (forpack.decode(forpack.encode(mixed)) == mixed).all()
