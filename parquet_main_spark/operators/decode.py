@@ -93,9 +93,11 @@ class Or:
 
 @dataclass
 class Not:
-    """Negation. Zone maps keep every block (conservatively — refuting
-    "may contain a match" would need definitely-all-match bounds analysis);
-    the row mask is exact: NOT(NULL) stays NULL and the row is not returned."""
+    """Negation. Zone maps prune genuinely: may(NOT c) = universe − all(c)
+    via the definite-all-match classification (_classify_blocks De Morgan),
+    so blocks where the child certainly holds everywhere are dropped
+    undecoded; the row mask is exact: NOT(NULL) stays NULL and the row is
+    not returned."""
 
     child: Any
 
@@ -128,57 +130,6 @@ def _stat_cols(lt: str) -> tuple[str, str]:
     if lt in ("float32", "float64"):
         return "min_num", "max_num"
     return "min_str", "max_str"
-
-
-def prune_filter(pred: Predicate, lt: str):
-    """Zone-map retention condition for blocks of pred.col (conservative:
-    True = block may contain matches). NULL stat bounds mean "unknown"
-    (binary prefix overflow, NaN floats, truncated long-string max — see
-    _block_stats) and retain the block unless it is all-null; all-null blocks
-    never match comparison predicates (SQL null semantics)."""
-    if pred.op == "isnull":
-        return F.col("null_count") > 0
-    if pred.op == "notnull":
-        return F.col("null_count") < F.col("n")
-    lo, hi = [F.col(c) for c in _stat_cols(lt)]
-    # binary bounds are stored hex-encoded (order-preserving); compare the
-    # literal in the same space (decimal128 values arrive pre-normalized to
-    # 16-byte order-preserving keys, i.e. binary)
-    enc = (lambda x: bytes(x).hex()) if codec_type(lt) == "binary" else (lambda x: x)
-    v = pred.value
-    if pred.op == "=":
-        cond = (lo <= F.lit(enc(v))) & (hi >= F.lit(enc(v)))
-    elif pred.op == "<":
-        cond = lo < F.lit(enc(v))
-    elif pred.op == "<=":
-        cond = lo <= F.lit(enc(v))
-    elif pred.op == ">":
-        cond = hi > F.lit(enc(v))
-    elif pred.op == ">=":
-        cond = hi >= F.lit(enc(v))
-    elif pred.op == "between":
-        a, b = v
-        cond = (hi >= F.lit(enc(a))) & (lo <= F.lit(enc(b)))
-    elif pred.op == "isin":
-        if not len(v):
-            return F.lit(False)  # empty set matches nothing anywhere
-        cond = None
-        for x in v:
-            c = (lo <= F.lit(enc(x))) & (hi >= F.lit(enc(x)))
-            cond = c if cond is None else (cond | c)
-    elif pred.op == "!=":
-        cond = ~((lo == F.lit(enc(v))) & (hi == F.lit(enc(v))))
-    elif pred.op == "startswith":
-        if lt != "string":
-            raise ValueError("startswith predicates need a string column")
-        # any v with prefix p satisfies v >= p; and the smallest such v is p
-        # itself, so the block range reaches it iff lo's first len(p) chars
-        # are <= p. Truncated stats stay conservative: a truncated min is
-        # still a lower bound, the max is truncate-and-incremented.
-        cond = (hi >= F.lit(v)) & (F.substring(lo, 1, len(v)) <= F.lit(v))
-    else:
-        raise ValueError(f"unknown predicate op {pred.op!r}")
-    return F.coalesce(cond, F.col("null_count") < F.col("n"))
 
 
 def _mask_from_ids(ids: np.ndarray, sorted_dict: np.ndarray, pred: Predicate) -> np.ndarray:
@@ -260,9 +211,13 @@ def _three_valued_or(a, b):
 
 
 def _block_survives(pred: Predicate, lt: str, lo, hi, null_count: int, n: int) -> bool:
-    """Python mirror of :func:`prune_filter` for the in-task zone-map prune
-    (same three-valued semantics: None bounds = unknown -> keep unless the
-    block is all-null)."""
+    """In-task zone-map retention test (conservative: True = block may
+    contain matches). Three-valued: None bounds = unknown -> keep unless
+    the block is all-null; all-null blocks never match comparison
+    predicates (SQL null semantics). The ONLY prune implementation — scan,
+    COUNT pushdown and pruning_report all classify through it (via
+    _classify_blocks), so observability always reports what the engine
+    actually skipped."""
     if pred.op == "isnull":
         return null_count > 0
     if pred.op == "notnull":
@@ -1158,40 +1113,44 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
 def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, int]:
     """How many blocks the zone map eliminated (page-skip observability,
     the reference's skipped-page accounting analog). Accepts the same
-    predicate forms as scan(): a list reports the conjunction; Or unions the
-    children's surviving block sets; Not conservatively keeps every block
-    (the scan's row mask stays exact)."""
+    predicate forms as scan(), and reports EXACTLY what the scan does:
+    each task runs the scan's own ``_classify_blocks`` on its file's stats,
+    so And/Or/Not all count the block sets the engine actually prunes
+    (r4 verdict: the old Spark-SQL reimplementation kept every block under
+    Not while the scan pruned via definite-match De Morgan).
+    ``all_match_blocks`` additionally reports blocks whose every row
+    definitely matches (the stats-only COUNT fast path)."""
     meta = read_meta(spark, out_dir)
-    expr = _normalize_expr(_as_expr(predicate), meta["logical"])
+    logical: dict[str, str] = meta["logical"]
+    expr = _normalize_expr(_as_expr(predicate), logical)
     if expr is None:
         raise ValueError("pruning_report needs at least one predicate")
-    blocks = read_blocks(spark, out_dir).filter(F.col("block_id") >= 0)
-    universe = blocks.select("bucket", "block_id").distinct()
+    files = [p for p, _ in _list_block_files(out_dir, spark)]
+    if not files:
+        return {"total_blocks": 0, "kept_blocks": 0, "pruned_blocks": 0,
+                "all_match_blocks": 0}
 
-    def surv(e) -> DataFrame:
-        if isinstance(e, Predicate):
-            lt = meta["logical"][e.col]
-            return (
-                blocks.filter(F.col("col") == e.col)
-                .filter(prune_filter(e, lt))
-                .select("bucket", "block_id")
-            )
-        if isinstance(e, And):
-            out = None
-            for c in e.children:
-                s = surv(c)
-                out = s if out is None else out.join(s, ["bucket", "block_id"], "left_semi")
-            return universe if out is None else out
-        if isinstance(e, Or):
-            out = None
-            for c in e.children:
-                s = surv(c)
-                out = s if out is None else out.unionByName(s)
-            return universe if out is None else out.distinct()
-        if isinstance(e, Not):
-            return universe
-        raise TypeError(f"not a predicate expression: {e!r}")
+    def report_tasks(it):
+        for batch in it:
+            for path in batch.column("path").to_pylist():
+                stats = _open_parquet(path).read(columns=_STATS_COLS)
+                bids = {b for b in stats.column("block_id").to_pylist()
+                        if b >= 0}
+                may, allm = _classify_blocks(stats, expr, logical)
+                yield pa.RecordBatch.from_pylist(
+                    [{"total": len(bids), "kept": len(may),
+                      "allm": len(allm)}],
+                    schema=pa.schema([("total", pa.int64()),
+                                      ("kept", pa.int64()),
+                                      ("allm", pa.int64())]),
+                )
 
-    total = universe.count()
-    kept = surv(expr).distinct().count()
-    return {"total_blocks": total, "kept_blocks": kept, "pruned_blocks": total - kept}
+    tasks = spark.createDataFrame(
+        [(p,) for p in files], "path string").repartition(len(files))
+    row = (tasks.mapInArrow(report_tasks, "total long, kept long, allm long")
+           .agg(F.sum("total").alias("t"), F.sum("kept").alias("k"),
+                F.sum("allm").alias("a")).collect()[0])
+    total, kept = int(row["t"] or 0), int(row["k"] or 0)
+    return {"total_blocks": total, "kept_blocks": kept,
+            "pruned_blocks": total - kept,
+            "all_match_blocks": int(row["a"] or 0)}

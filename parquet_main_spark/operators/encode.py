@@ -293,7 +293,7 @@ def _block_stats(vals: np.ndarray, lt: str):
     ColumnWriterV1.java:113-139) -> (min_int, max_int, min_num, max_num, min_str, max_str).
 
     Conservative-by-construction bounds: a None bound means "unknown" and
-    prune_filter retains the block (unless all-null). Cases that yield None:
+    the zone-map classifier retains the block (unless all-null). None cases:
     float blocks containing NaN (NaN ordering differs between numpy/Spark/SQL,
     so no finite bounds are safe), over-long string max (truncation would
     understate it), binary max whose 16-byte prefix is all 0xFF.

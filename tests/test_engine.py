@@ -1368,3 +1368,40 @@ def test_timestamp_predicate_uses_session_timezone(spark, encoded):
     aware = lit.replace(tzinfo=datetime.timezone.utc)
     assert _normalize_expr(Predicate("warc_ts", "<", aware), logical).value \
         == utc_micros
+
+
+def test_pruning_report_matches_scan_for_not(spark, tmp_path):
+    """r4 brief item 4: pruning_report must report the block sets the scan
+    ACTUALLY prunes — including under Not, where the old report kept every
+    block. Oracle computed by hand from the known block layout: sorted v in
+    0..3999, block_size 400 -> 10 blocks; NOT(v BETWEEN 700 AND 3100)
+    all-matches blocks fully inside [700, 3100] (blocks 2..6 = 800..3199?
+    no: blocks [800,1199]..[2800,3199] -> 2..5 inside, boundary 1 and 7),
+    so kept = universe - all_match(child)."""
+    from parquet_main_spark.operators.decode import Not
+
+    df = spark.sql(
+        "SELECT CONCAT('k', LPAD(CAST(id AS STRING), 6, '0')) AS k, id AS v "
+        "FROM range(4000)")
+    out = str(tmp_path / "notreport")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=1,
+                                         block_size=400, order_by=["k"],
+                                         snapshot_id="t1"))
+    # blocks are [400*i, 400*i+399]; child BETWEEN 700 AND 3100 all-matches
+    # blocks fully inside: [800..1199], [1200..1599], ..., [2800..2999]? ->
+    # i in 2..6 iff 400*i >= 700 and 400*i+399 <= 3100 -> i in {2,..,6}:
+    # i=6 is [2400..2799] ok, i=7 = [2800..3199] crosses 3100 -> boundary
+    expected_pruned = len([i for i in range(10)
+                           if 400 * i >= 700 and 400 * i + 399 <= 3100])
+    rep = pruning_report(spark, out, Not(Predicate("v", "between", (700, 3100))))
+    assert rep["total_blocks"] == 10
+    assert rep["pruned_blocks"] == expected_pruned
+    assert rep["kept_blocks"] == 10 - expected_pruned
+    # and the scan under the same predicate stays exact
+    n = scan(spark, out, columns=["v"],
+             predicate=Not(Predicate("v", "between", (700, 3100)))).count()
+    assert n == df.filter("NOT (v BETWEEN 700 AND 3100)").count()
+
+    # all_match_blocks: v >= 0 holds everywhere
+    rep2 = pruning_report(spark, out, Predicate("v", ">=", 0))
+    assert rep2["all_match_blocks"] == 10 and rep2["pruned_blocks"] == 0
