@@ -101,6 +101,7 @@ class EncodeResult:
 
 def _stats_fn(logical: dict[str, str], sorted_cols: frozenset[str],
               chosen: frozenset[int] | None, delta_guard_bits: int,
+              uniq_cap: int,
               it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
     # stratified sample: only the `chosen` partitions contribute (evenly
     # spread over the partition index space, so a time-partitioned corpus is
@@ -131,8 +132,13 @@ def _stats_fn(logical: dict[str, str], sorted_cols: frozenset[str],
         if col not in tbl.column_names:
             continue
         vals, _ = arrow_to_dense(tbl.column(col), lt)
+        # global-dict candidates ship their sample distincts with the stats
+        # (one job instead of stats + a separate distinct agg); binary and
+        # decimal key spaces never get table-wide dictionaries
+        cap = (uniq_cap if codec_type(lt) != "binary"
+               and not lt.startswith("decimal") else 0)
         st = column_sample_stats(vals, codec_type(lt), assume_sorted=col in sorted_cols,
-                                 delta_guard_bits=delta_guard_bits)
+                                 delta_guard_bits=delta_guard_bits, uniq_cap=cap)
         rows_col.append(col)
         rows_js.append(json.dumps(st))
     yield pa.RecordBatch.from_pydict({"col": rows_col, "stats": rows_js})
@@ -150,6 +156,17 @@ def _merge_stats(parts: list[dict]) -> dict:
     out["n"] = tot
     out["card"] = min(tot, kmv_estimate([p.get("kmv", []) for p in parts]))
     out["raw_bytes"] = sum(p.get("raw_bytes", 0) for p in parts)
+    if any("uniq" in p for p in parts):
+        # union of sample distincts; None (a partition over its cap) poisons
+        # the union — the column stays on per-block dictionaries
+        if any(p.get("uniq") is None for p in parts):
+            out["uniq"] = None
+        else:
+            seen: dict = {}
+            for p in parts:
+                for v in p.get("uniq", []):
+                    seen[v] = True
+            out["uniq"] = list(seen)
     for k in ("avg_run", "sorted_frac", "fsst_ratio", "avg_len", "avg_uniq_len"):
         vals = [(p[k], p["n"]) for p in parts if k in p]
         if vals:
@@ -189,7 +206,8 @@ def sample_plan(df: DataFrame, cfg: EncodeConfig) -> tuple[dict[str, str], dict[
         chosen = frozenset((offset + (i * nparts) // 8) % nparts for i in range(8))
     stats_df = df.mapInArrow(
         partial(_stats_fn, logical, sorted_cols, chosen,
-                bit_width(max(cfg.buckets - 1, 1))), STATS_SCHEMA
+                bit_width(max(cfg.buckets - 1, 1)),
+                cfg.global_dict_max_card), STATS_SCHEMA
     )
     by_col: dict[str, list[dict]] = {}
     for row in stats_df.collect():
@@ -862,58 +880,40 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         forced = frozenset(prev_meta["config"].get("forced", []))
     if plan is None:
         plan, stats = sample_plan(df, cfg)
-        # global (external) dictionary for low-cardinality columns: one exact
-        # sorted dictionary per column for the WHOLE table, shared by all
-        # blocks (E5 analog). All candidate columns are confirmed in ONE
-        # aggregation job (not one full scan per column); candidacy is gated
-        # on the sampled KMV estimate so collect_set stays small.
+        # global (external) dictionary for low-cardinality columns: one
+        # table-wide sorted dictionary per column, shared by all blocks (E5
+        # analog). The dictionary is built from the STATS SAMPLE's distinct
+        # values (they ride back with the stats rows — zero extra jobs;
+        # r4 ran a separate collect_set aggregation, a second scan of the
+        # candidate columns plus a whole job of fixed cost against the
+        # N->4N scaling criterion). A value the sample missed is handled at
+        # encode time: _encode_with_fallback drops that block to a local
+        # dictionary, so correctness never depends on sample coverage, and
+        # for genuinely low-cardinality columns (the only gdict candidates)
+        # a ~64K-row stratified sample sees every value in practice.
+        # Candidacy stays KMV-gated so high-card columns never ship uniqs.
         if cfg.global_dict_max_card > 0:
             cands = [
                 c for c, codec in plan.items()
                 if codec == "dict" and codec_type(logical[c]) != "binary" and c not in forced
-                and not logical[c].startswith("decimal")  # unscaled/keyed collect is bdict's job
+                and not logical[c].startswith("decimal")  # unscaled/keyed space is bdict's job
                 and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
             ]
-            if cands:
-                aggs = []
-                for c in cands:
-                    e = F.col(c)
-                    # epoch micros computed IN Spark — driver-side
-                    # datetime.timestamp() is local-timezone-dependent and
-                    # would break cross-machine byte-identity
-                    if logical[c] == "timestamp":
-                        e = F.unix_micros(e)
-                    elif logical[c] == "timestamp_ntz":
-                        # wall-clock micros computed timezone-independently:
-                        # to_utc_timestamp would implicitly cast NTZ via the
-                        # SESSION timezone and shift the dictionary relative
-                        # to the wall micros the encoder writes
-                        e = F.timestamp_diff(
-                            "MICROSECOND",
-                            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"),
-                            e,
-                        )
-                    elif logical[c] == "date32":
-                        e = F.unix_date(e)
-                    aggs.append(
-                        F.slice(F.sort_array(F.collect_set(e)), 1, cfg.global_dict_max_card + 1).alias(c)
-                    )
-                row = df.agg(*aggs).collect()[0]
-                for c in cands:
-                    vals = row[c]
-                    if not vals or len(vals) > cfg.global_dict_max_card:
-                        continue  # over budget: stay on per-block dict
-                    lt = logical[c]
-                    if lt in INT_TYPES:
-                        arr = np.array(vals, dtype=np.int64)
-                    elif lt in ("float32", "float64"):
-                        arr = np.array(vals, dtype=np.float64)
-                        if np.isnan(arr).any():
-                            continue  # NaN has no sort rank; keep local dict
-                    else:
-                        arr = np.array(vals, dtype=object)
-                    gdicts[c] = np.sort(arr)
-                    plan[c] = "gdict"
+            for c in cands:
+                vals = stats.get(c, {}).get("uniq")
+                if not vals or len(vals) > cfg.global_dict_max_card:
+                    continue  # over budget / a partition over cap: per-block dict
+                lt = logical[c]
+                if lt in INT_TYPES:
+                    arr = np.array(vals, dtype=np.int64)
+                elif lt in ("float32", "float64"):
+                    arr = np.array(vals, dtype=np.float64)
+                    if np.isnan(arr).any():
+                        continue  # NaN has no sort rank; keep local dict
+                else:
+                    arr = np.array(vals, dtype=object)
+                gdicts[c] = np.sort(arr)
+                plan[c] = "gdict"
 
     order_by = cfg.order_by or [cfg.bucket_key]
 

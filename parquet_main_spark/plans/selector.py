@@ -50,7 +50,8 @@ def kmv_estimate(sketches: list[list[int]]) -> int:
 
 def column_sample_stats(values: np.ndarray, logical_type: str,
                         assume_sorted: bool = False,
-                        delta_guard_bits: int = 0) -> dict[str, Any]:
+                        delta_guard_bits: int = 0,
+                        uniq_cap: int = 0) -> dict[str, Any]:
     """Stats over a dense (non-null) sample of one column — one vectorized
     pass (the reference's scanIntBitLength analog, generalized).
 
@@ -58,26 +59,50 @@ def column_sample_stats(values: np.ndarray, logical_type: str,
     THOSE columns shared-prefix overlap is measured on a sorted sub-sample;
     for every other column the blocks see arrival order, and measuring
     sorted overlap would overestimate the prefix codec (it beat dict for
-    2-char lang codes that way)."""
+    2-char lang codes that way).
+
+    ``uniq_cap`` > 0: additionally emit the sample's EXACT distinct values
+    (``uniq``, JSON-serializable) when there are at most that many — the
+    global-dictionary candidates ride back with the stats so no separate
+    distinct-aggregation job has to rescan the table (encode-side per-block
+    fallback covers any value the sample missed)."""
     n = len(values)
     st: dict[str, Any] = {"n": n, "type": logical_type}
     if n == 0:
         st.update(card=0, avg_run=1.0, raw_bytes=0, kmv=[])
+        if uniq_cap > 0:
+            st["uniq"] = []
         return st
     st["kmv"] = _kmv(values)
+
+    def _emit_uniq(u: np.ndarray) -> None:
+        if uniq_cap > 0:
+            st["uniq"] = u.tolist() if len(u) <= uniq_cap else None
     if logical_type in VAR_TYPES:
         lengths, blob = to_blob(values, binary=logical_type == "binary")
         uniq = np.unique(values)
+        if logical_type != "binary":  # bytes aren't JSON; binary never gdicts
+            _emit_uniq(uniq)
         card = len(uniq)
         runs = 1 + int((values[1:] != values[:-1]).sum())
         dict_bytes = int(sum(len(s.encode() if isinstance(s, str) else s) for s in uniq))
-        # ratio estimate only: 4 MiB of corpus is plenty, and compressing a
-        # whole 25 MiB sample per task is bandwidth the bus doesn't have
-        comp = compress_corpus(bytes(blob[: 4 << 20]))
-        blob_used = min(len(blob), 4 << 20)
+        # ratio estimate only: 2 MiB of corpus is plenty (measured ratios at
+        # 1/2/4 MiB agree to ~0.5% on web text, far inside the selector's
+        # 5% hysteresis), and compressing a whole 25 MiB sample per task is
+        # bandwidth the bus doesn't have — the stats wave is serial time the
+        # N->4N criterion pays at every core count
+        comp = compress_corpus(bytes(blob[: 2 << 20]))
+        blob_used = min(len(blob), 2 << 20)
         from ..codecs import prefix as _prefix
 
-        sub = values[: min(len(values), 2048)]
+        # prefix probe capped by BYTES, not values: 2048 html blobs are
+        # ~4 MiB of per-value Python encode — for long values far fewer
+        # suffice for a per-byte ratio
+        n_sub = min(len(values), 2048)
+        if n_sub and float(lengths[:n_sub].sum()) > (512 << 10):
+            n_sub = max(64, int(np.searchsorted(
+                np.cumsum(lengths[:n_sub]), 512 << 10)) + 1)
+        sub = values[:n_sub]
         if assume_sorted:
             sub = np.sort(sub)
         try:
@@ -104,6 +129,7 @@ def column_sample_stats(values: np.ndarray, logical_type: str,
         # stress: vec_id picked rle at ~3x the bytes of delta)
         v = np.sort(v)
     uniq = np.unique(v)
+    _emit_uniq(uniq)
     runs = 1 + int((v[1:] != v[:-1]).sum())
     st.update(card=len(uniq), avg_run=n / runs, raw_bytes=v.nbytes)
     if logical_type in INT_TYPES or logical_type == "bool":

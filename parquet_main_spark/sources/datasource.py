@@ -27,6 +27,12 @@ ParquetFileReader.java:709-719). Until Spark exposes required-column
 pushdown to Python data sources, a bare ``.select()`` without the option
 still decodes every column; ``scan()`` always prunes from its ``columns=``
 argument.
+
+TODO(upstream): the Python Data Source API (SPIP: SPARK-44076) ships
+``pushFilters`` in Spark 4.1 but no column-pruning hook; when a
+``pruneColumns``-style method lands on ``DataSourceReader``, implement it
+on :class:`EncodedTableReader` (one-line: intersect with ``self.columns``)
+and retire the ``columns`` option.
 """
 
 from __future__ import annotations

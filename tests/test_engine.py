@@ -1405,3 +1405,35 @@ def test_pruning_report_matches_scan_for_not(spark, tmp_path):
     # all_match_blocks: v >= 0 holds everywhere
     rep2 = pruning_report(spark, out, Predicate("v", ">=", 0))
     assert rep2["all_match_blocks"] == 10 and rep2["pruned_blocks"] == 0
+
+
+def test_gdict_from_sample_with_unseen_value_fallback(spark, tmp_path):
+    """Round 5: global dictionaries come from the stats sample (no separate
+    distinct-agg job). A value the sample never saw (here: only in rows past
+    the 8192-row sample prefix of the single partition) must NOT corrupt
+    anything — blocks containing it fall back to a local dictionary and the
+    table round-trips exactly."""
+    from parquet_main_spark.operators.decode import scan_count
+
+    # the sample takes the first Arrow batches (>= 8192 rows, i.e. one
+    # default 10000-row batch) of the single partition: 'rare' lives
+    # strictly after row 25000, far outside it
+    df = spark.sql(
+        "SELECT id AS k, CASE WHEN id < 25000 THEN concat('v', id % 5) "
+        "ELSE 'rare' END AS tag FROM range(30000)"
+    ).coalesce(1)
+    out = str(tmp_path / "gdict_sample")
+    encode_table(spark, df, EncodeConfig(out_dir=out, bucket_key="k", buckets=2,
+                                         block_size=512, order_by=["k"],
+                                         snapshot_id="gs"))
+    meta = read_meta(spark, out)
+    assert meta["plan"].get("tag") == "gdict"
+    assert "rare" not in set(meta["gdicts"]["tag"])  # sample missed it
+
+    got = _sorted_pdf(scan(spark, out), order="k")
+    want = _sorted_pdf(df, order="k")
+    pd.testing.assert_frame_equal(got[["k", "tag"]], want[["k", "tag"]])
+    # predicates on the gdict column stay exact across fallback blocks
+    assert scan_count(spark, out, Predicate("tag", "=", "rare")) == 5000
+    assert scan_count(spark, out, Predicate("tag", "=", "v3")) \
+        == df.filter("tag = 'v3'").count()
