@@ -37,10 +37,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query. Every query has an oracle except
-    ops_image_pipeline (its pixel content is seeded randomness with no SQL
-    analog — the driver records the rows-only check; its stage math is
-    numpy-oracled in tests/test_multimodal.py)."""
+    """DuckDB-equivalent SQL per query — EVERY registered query has one
+    (round 5: ops_image_pipeline's pixels became BIGINT arithmetic so its
+    decode -> resize -> brightness pipeline is SQL-recomputable exactly;
+    its per-stage math is additionally numpy-oracled in
+    tests/test_multimodal.py)."""
     from parquet_main_spark.queries import ORACLES
 
     return dict(ORACLES)

@@ -491,6 +491,7 @@ class EncodedTableWriter(DataSourceArrowWriter):
         # leave gdict-coded blocks undecodable)
         self._prior_meta: dict | None = None
         self._prior_lineage: list[dict] = []
+        self._gdicts: dict | None = None  # appends: prior table's global dicts
 
     # -- driver-side -------------------------------------------------------
 
@@ -526,10 +527,17 @@ class EncodedTableWriter(DataSourceArrowWriter):
     def _load_prior(self) -> None:
         """Append path: capture the existing table's meta + lineage so
         commit() can merge instead of clobbering (meta is the only copy of
-        the gdicts; config.buckets / the plan must stay cumulative)."""
+        the gdicts; config.buckets / the plan must stay cumulative), and
+        load the gdicts themselves so appended chunks KEEP gdict-coding
+        the table's global-dictionary columns (values outside a dictionary
+        fall back per block, same as encode_table)."""
+        from ..operators.encode import gdicts_from_json
+
         self._prior_meta = _read_meta(self.path)
         self._check_append(self._prior_meta)
         self._prior_lineage = _read_parquet_rows(f"{self.path}/lineage")
+        self._gdicts = gdicts_from_json(self._prior_meta.get("gdicts", {}),
+                                        self.logical)
         self.bucket_offset = self._max_bucket() + 1
 
     def _check_append(self, meta: dict | None) -> None:
@@ -571,6 +579,11 @@ class EncodedTableWriter(DataSourceArrowWriter):
             if col in self.plan_override:
                 plan[col] = self.plan_override[col]
                 continue
+            if self._gdicts and col in self._gdicts:
+                # append to a gdict table: keep coding against the table's
+                # global dictionary (per-block fallback covers new values)
+                plan[col] = "gdict"
+                continue
             vals, _ = arrow_to_dense(sample.column(col), lt)
             plan[col] = choose_codec(column_sample_stats(vals, codec_type(lt)))
         return plan
@@ -609,7 +622,7 @@ class EncodedTableWriter(DataSourceArrowWriter):
             bucket = bucket_offset + pid * _WRITER_SPREAD + seq
             enc = _encode_group(self.logical, self._chunk_plan(tbl),
                                 self.block_size, self.order_by, bucket, tbl,
-                                None, forced)
+                                self._gdicts, forced)
             _write_bucket_file(blocks_path, bucket, enc)
             lineage.append(_lineage_row(anchor, bucket, enc))
             buf, rows = [], 0

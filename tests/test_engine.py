@@ -1304,6 +1304,15 @@ def test_datasource_append_preserves_gdicts_and_merges_meta(spark, tmp_path):
 
     after = read_meta(spark, out)
     assert after["gdicts"] == before["gdicts"]
+    # appended chunks KEEP gdict-coding the table's global-dict columns
+    import json as _json
+
+    lin = spark.read.parquet(f"{out}/lineage").collect()
+    appended = [r for r in lin if r["snapshot_id"] != "g1"]
+    assert appended
+    for r in appended:
+        codecs = {i["col"]: i["codec"] for i in _json.loads(r["codec_json"])}
+        assert codecs["lang"] == "gdict", codecs
     assert after["config"]["buckets"] > before["config"]["buckets"]
     assert after["config"]["bucket_key"] == before["config"]["bucket_key"]
     # majority plan still reflects the (larger) original table
