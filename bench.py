@@ -97,7 +97,7 @@ def main() -> None:
 
     # -- 2. decode + in-situ scan paths ------------------------------------
     t_dec = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         n_full = scan(spark, out).count()
         dt = time.perf_counter() - t0
@@ -113,7 +113,7 @@ def main() -> None:
         ("narrow_scan_lang", dict(columns=["lang"])),
     ):
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             scan(spark, out, **kw).count()
             dt = time.perf_counter() - t0
@@ -137,7 +137,7 @@ def main() -> None:
         "ops_simhash",
     ):
         best = None
-        for _ in range(2):  # min-of-2: host wall-time noise is 2-4x
+        for _ in range(3):  # min-of-3: single-query host noise reaches 4x
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.collect()
@@ -150,7 +150,7 @@ def main() -> None:
     # and multimodal frame sampling
     for name in ("eng_vector_scan", "ops_frame_sample"):
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
