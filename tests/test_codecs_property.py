@@ -157,3 +157,58 @@ def test_vector_blob_roundtrip(data):
             assert g is None
         else:
             assert g == pa.array([r], type=pa.list_(pa.float32())).to_pylist()[0]
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_bitpack_gather_inverse_any_width(data):
+    """pack_bits/unpack_bits are exact inverses at EVERY width 1..64 for
+    arbitrary values — the width<=57 path is the 8-byte-gather fast route
+    (_gather_bits), widths 58..64 the bit-matrix fallback; both must agree
+    with the packer."""
+    import numpy as np
+
+    from parquet_main_spark.codecs.bitpack import pack_bits, unpack_bits
+
+    width = data.draw(st.integers(1, 64))
+    n = data.draw(st.integers(0, 700))
+    hi = (1 << width) - 1
+    vals = np.array(
+        data.draw(st.lists(st.integers(0, hi), min_size=n, max_size=n)),
+        dtype=np.uint64,
+    )
+    assert (unpack_bits(pack_bits(vals, width), n, width) == vals).all()
+
+
+@given(st.data())
+@settings(max_examples=80, deadline=None)
+def test_gather_bits_matches_slow_reference(data):
+    """_gather_bits at ARBITRARY (offset, width) pairs — the multi-segment
+    RLE/FOR decode contract — against a bit-by-bit Python oracle."""
+    import numpy as np
+
+    from parquet_main_spark.codecs.bitpack import _gather_bits
+
+    nbytes = data.draw(st.integers(1, 64))
+    raw = np.array(
+        data.draw(st.lists(st.integers(0, 255), min_size=nbytes, max_size=nbytes)),
+        dtype=np.uint8,
+    )
+    n = data.draw(st.integers(1, 32))
+    widths = np.array(data.draw(st.lists(st.integers(0, 57), min_size=n, max_size=n)),
+                      dtype=np.int64)
+    offs = np.array(
+        [data.draw(st.integers(0, max(0, nbytes * 8 - int(w))))
+         for w in widths], dtype=np.int64)
+    padded = np.concatenate([raw, np.zeros(8, np.uint8)])
+    got = _gather_bits(padded, offs, widths)
+
+    bits = np.unpackbits(raw, bitorder="little")
+
+    def bit(i):  # bits past the raw buffer read as 0 (the 8-byte pad)
+        return int(bits[i]) if i < len(bits) else 0
+
+    for k in range(n):
+        w, o = int(widths[k]), int(offs[k])
+        want = sum(bit(o + j) << j for j in range(w))
+        assert int(got[k]) == want, (k, w, o)

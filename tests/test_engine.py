@@ -1446,3 +1446,59 @@ def test_gdict_from_sample_with_unseen_value_fallback(spark, tmp_path):
     assert scan_count(spark, out, Predicate("tag", "=", "rare")) == 5000
     assert scan_count(spark, out, Predicate("tag", "=", "v3")) \
         == df.filter("tag = 'v3'").count()
+
+
+def test_stream_writer_remote_commit_moves_staged_buckets(spark, tmp_path,
+                                                          monkeypatch):
+    """The streaming writer's REMOTE commit branch (pyarrow.fs file moves +
+    staging cleanup) produces the same batch=N layout as the local branch:
+    staged bucket files land under batch=N/blocks, meta + lineage are
+    written last, staging dirs disappear, and the batch scans back exactly.
+    Driven by invoking commit() directly on manually staged dirs (the
+    streaming engine runs commit in its own process, out of monkeypatch
+    reach)."""
+    import glob
+    import os
+
+    from parquet_main_spark.operators.decode import scan
+    from parquet_main_spark.sources.datasource import (
+        EncodedTableStreamWriter, _StreamWriteResult, _read_meta,
+    )
+
+    # stage real encoded buckets by encoding a table and relocating its
+    # bucket dirs into two fake task staging dirs
+    df = webpages(spark, 300, partitions=2)
+    enc_dir = str(tmp_path / "src_enc")
+    encode_table(spark, df, EncodeConfig(out_dir=enc_dir, buckets=2,
+                                         block_size=128, snapshot_id="s0",
+                                         global_dict_max_card=0))
+    out_root = str(tmp_path / "remote_stream_out")
+    os.makedirs(out_root)
+    lineage = spark.read.parquet(f"{enc_dir}/lineage").collect()
+    messages = []
+    for i, bdir in enumerate(sorted(glob.glob(f"{enc_dir}/blocks/bucket=*"))):
+        staging = f"{out_root}/_staging/task{i}"
+        os.makedirs(f"{staging}/bucket={i}")
+        for p in glob.glob(f"{bdir}/*.parquet"):
+            os.rename(p, f"{staging}/bucket={i}/{os.path.basename(p)}")
+        row = [r.asDict() for r in lineage if r["bucket"] == int(
+            os.path.basename(bdir).split("=")[1])][0]
+        row["bucket"] = i
+        messages.append(_StreamWriteResult(f"file://{staging}", [row]))
+
+    _as_remote(monkeypatch)
+    w = EncodedTableStreamWriter(f"file://{out_root}", df.schema,
+                                 options={"snapshot_id": "sw"})
+    w.commit(messages, batchId=0)
+
+    assert os.path.isdir(f"{out_root}/batch=0/blocks/bucket=0")
+    assert os.path.isdir(f"{out_root}/batch=0/blocks/bucket=1")
+    assert glob.glob(f"{out_root}/batch=0/lineage/*.parquet")
+    assert not glob.glob(f"{out_root}/_staging/task*/bucket=*")
+    meta = _read_meta(f"file://{out_root}/batch=0")
+    assert set(meta["logical"]) == {"url", "warc_ts", "html", "text", "lang"}
+    got = _sorted_pdf(scan(spark, f"{out_root}/batch=0"))
+    want = _sorted_pdf(df)[got.columns.tolist()]
+    got["html"] = got["html"].map(bytes)
+    want["html"] = want["html"].map(bytes)
+    pd.testing.assert_frame_equal(got, want)
