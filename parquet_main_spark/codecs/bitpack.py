@@ -44,12 +44,19 @@ def unpack_bits(buf: bytes | memoryview, n: int, width: int) -> np.ndarray:
         return np.zeros(n, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) // 8)
     if width <= 57:
-        return _gather_bits(np.concatenate([raw, np.zeros(8, np.uint8)]),
+        return _gather_bits(_pad8(raw),
                             np.arange(n, dtype=np.int64) * width, width)
     bits = np.unpackbits(raw, bitorder="little", count=n * width)
     bits = bits.reshape(n, width).astype(np.uint64)
     shifts = np.arange(width, dtype=np.uint64)
     return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def _pad8(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """uint8 view of ``buf`` with the 8 slack bytes :func:`_gather_bits`
+    requires appended — the ONE place that invariant is constructed."""
+    raw = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
+    return np.concatenate([raw, np.zeros(8, np.uint8)])
 
 
 def _gather_bits(padded: np.ndarray, bit_offsets: np.ndarray,

@@ -58,7 +58,7 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
     every group at once — no per-group numpy calls. Groups wider than 57
     bits (packed values near the uint64 span limit) fall back to the exact
     per-group unpack."""
-    from .bitpack import _gather_bits
+    from .bitpack import _gather_bits, _pad8
 
     buf = memoryview(buf)
     (n,) = struct.unpack_from("<I", buf, 0)
@@ -94,8 +94,5 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
     within = np.arange(n, dtype=np.int64) - np.repeat(csum, gs)
     w_per = np.repeat(ws, gs)
     bit_off = np.repeat(pposs * 8, gs) + within * w_per
-    padded = np.concatenate(
-        [np.frombuffer(buf, dtype=np.uint8), np.zeros(8, np.uint8)]
-    )
-    vals = _gather_bits(padded, bit_off, w_per)
+    vals = _gather_bits(_pad8(buf), bit_off, w_per)
     return vals.astype(np.int64) + np.repeat(bases, gs)

@@ -118,7 +118,7 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
     instead of one numpy slice-assign + unpack per segment. The encode-side
     segment bound (MAX_SEGMENTS_FLOOR/MIN_VALUES_PER_SEGMENT) keeps pass 1
     short even on adversarial run structure."""
-    from .bitpack import _gather_bits
+    from .bitpack import _gather_bits, _pad8
 
     buf = memoryview(buf)
     width, n = struct.unpack_from("<BI", buf, 0)
@@ -143,33 +143,25 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
         done += cnt
 
     if packed_seg:
-        if len(packed_seg) == 1 and width > 57:
-            s, cnt, p = packed_seg[0]
-            nb = (cnt * width + 7) // 8
-            out[s : s + cnt] = unpack_bits(buf[p : p + nb], cnt, width)
+        if width > 57:  # >57-bit values need >8-byte loads: exact fallback
+            for s, cnt, p in packed_seg:
+                nb = (cnt * width + 7) // 8
+                out[s : s + cnt] = unpack_bits(buf[p : p + nb], cnt, width)
         else:
             # one bit-gather for every packed value of the block: absolute
             # bit offset = segment payload byte * 8 + within-segment index *
             # width (byte padding between segments is what stops a single
             # contiguous unpack)
-            if width > 57:  # adversarial width + many segments: stay exact
-                for s, cnt, p in packed_seg:
-                    nb = (cnt * width + 7) // 8
-                    out[s : s + cnt] = unpack_bits(buf[p : p + nb], cnt, width)
-            else:
-                starts = np.array([g[0] for g in packed_seg], dtype=np.int64)
-                cnts = np.array([g[1] for g in packed_seg], dtype=np.int64)
-                bposs = np.array([g[2] for g in packed_seg], dtype=np.int64)
-                total = int(cnts.sum())
-                csum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-                within = np.arange(total, dtype=np.int64) - np.repeat(csum, cnts)
-                bit_off = np.repeat(bposs * 8, cnts) + within * width
-                padded = np.concatenate(
-                    [np.frombuffer(buf, dtype=np.uint8), np.zeros(8, np.uint8)]
-                )
-                vals = _gather_bits(padded, bit_off, width)
-                out[np.repeat(starts - csum, cnts)
-                    + np.arange(total, dtype=np.int64)] = vals
+            starts = np.array([g[0] for g in packed_seg], dtype=np.int64)
+            cnts = np.array([g[1] for g in packed_seg], dtype=np.int64)
+            bposs = np.array([g[2] for g in packed_seg], dtype=np.int64)
+            total = int(cnts.sum())
+            csum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            within = np.arange(total, dtype=np.int64) - np.repeat(csum, cnts)
+            bit_off = np.repeat(bposs * 8, cnts) + within * width
+            vals = _gather_bits(_pad8(buf), bit_off, width)
+            out[np.repeat(starts - csum, cnts)
+                + np.arange(total, dtype=np.int64)] = vals
 
     if rle_seg:
         if len(rle_seg) <= 4:

@@ -117,10 +117,6 @@ def _expr_leaves(expr) -> list[Predicate]:
     raise TypeError(f"not a predicate expression: {expr!r}")
 
 
-def read_blocks(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{out_dir}/blocks")
-
-
 def _stat_cols(lt: str) -> tuple[str, str]:
     from ..codecs import INT_TYPES
 

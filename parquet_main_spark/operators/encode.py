@@ -827,23 +827,25 @@ def _pa_write_dir(tbl: pa.Table, dir_path: str, filename: str,
 
 
 def completed_buckets(spark: SparkSession, out_dir: str, snapshot_id: str) -> set[int]:
-    _, lineage_path, _ = _paths(out_dir)
-    if not is_remote_path(lineage_path):
-        import os
+    """Buckets already done for ``snapshot_id`` — the resume anti-join set.
 
-        if not os.path.isdir(_local_path(lineage_path)):
-            return set()  # fresh table: skip the doomed read's analysis cost
+    Read per-FILE with pyarrow (driver-side, the lineage table is tiny), not
+    as one Spark parquet read: lineage files append across runs, so a table
+    written by an older engine version may mix column widths (bucket was
+    int32 before round 5) — a whole-directory read would fail schema
+    reconciliation and a blanket fallback to set() silently re-encoded
+    every bucket. Per-file reads + int() tolerate any mix."""
+    _, lineage_path, _ = _paths(out_dir)
+    from ..sources.datasource import _read_parquet_rows
+
     try:
-        rows = (
-            spark.read.parquet(lineage_path)
-            .filter((F.col("snapshot_id") == snapshot_id) & (F.col("status") == "done"))
-            .select("bucket")
-            .distinct()
-            .collect()
-        )
-        return {r["bucket"] for r in rows}
-    except Exception:
+        rows = _read_parquet_rows(lineage_path)
+    except FileNotFoundError:
         return set()
+    return {
+        int(r["bucket"]) for r in rows
+        if r.get("snapshot_id") == snapshot_id and r.get("status") == "done"
+    }
 
 
 def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,

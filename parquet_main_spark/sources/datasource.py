@@ -485,12 +485,11 @@ class EncodedTableWriter(DataSourceArrowWriter):
                 raise ValueError(f"order_by column {c!r} not in schema")
         self.plan_override: dict[str, str] = json.loads(options.get("plan", "{}"))
         self.bucket_offset = 0
-        # append state: the prior table's meta + lineage rows (commit merges
-        # them so meta stays cumulative and gdicts survive — meta is the
-        # ONLY copy of global dictionaries, losing them on append would
-        # leave gdict-coded blocks undecodable)
+        # append state: the prior table's meta (commit merges it so meta
+        # stays cumulative and gdicts survive — meta is the ONLY copy of
+        # global dictionaries, losing them on append would leave gdict-coded
+        # blocks undecodable); prior LINEAGE is read lazily at commit time
         self._prior_meta: dict | None = None
-        self._prior_lineage: list[dict] = []
         self._gdicts: dict | None = None  # appends: prior table's global dicts
 
     # -- driver-side -------------------------------------------------------
@@ -535,7 +534,6 @@ class EncodedTableWriter(DataSourceArrowWriter):
 
         self._prior_meta = _read_meta(self.path)
         self._check_append(self._prior_meta)
-        self._prior_lineage = _read_parquet_rows(f"{self.path}/lineage")
         self._gdicts = gdicts_from_json(self._prior_meta.get("gdicts", {}),
                                         self.logical)
         self.bucket_offset = self._max_bucket() + 1
@@ -666,9 +664,16 @@ class EncodedTableWriter(DataSourceArrowWriter):
         # majority-vote plan across buckets (informational: blocks are
         # codec-self-describing; meta.plan mirrors encode_table's report).
         # Appends vote over the PRIOR lineage too, so meta reflects the
-        # whole table, not just the latest write.
+        # whole table, not just the latest write. The prior lineage is read
+        # HERE (commit time, before this write's own lineage file lands) —
+        # one dict per existing bucket is commit-only state that must not
+        # ride the pickled writer into every executor task.
+        prior_lineage: list[dict] = (
+            _read_parquet_rows(f"{self.path}/lineage")
+            if self._prior_meta is not None else []
+        )
         votes: dict[str, dict[str, int]] = {}
-        for r in self._prior_lineage + rows:
+        for r in prior_lineage + rows:
             for item in json.loads(r["codec_json"]):
                 v = votes.setdefault(item["col"], {})
                 v[item["codec"]] = v.get(item["codec"], 0) + 1
@@ -681,7 +686,7 @@ class EncodedTableWriter(DataSourceArrowWriter):
             # cumulative config + CARRIED-FORWARD gdicts: meta is the only
             # copy of the global dictionaries — an append that dropped them
             # would leave the table's gdict-coded blocks undecodable
-            n_buckets = len({r["bucket"] for r in self._prior_lineage}
+            n_buckets = len({r["bucket"] for r in prior_lineage}
                             | {r["bucket"] for r in rows})
             config = dict(self._prior_meta["config"])
             config.update(buckets=n_buckets, writer="datasource")
