@@ -1502,3 +1502,33 @@ def test_stream_writer_remote_commit_moves_staged_buckets(spark, tmp_path,
     got["html"] = got["html"].map(bytes)
     want["html"] = want["html"].map(bytes)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_completed_buckets_tolerates_mixed_lineage_schemas(spark, tmp_path):
+    """Resume must survive a lineage dir whose files mix column widths
+    (tables written by the pre-round-5 engine carried int32 bucket ids;
+    appends add int64 files next to them). A whole-directory Spark read
+    fails schema reconciliation there — the per-file pyarrow read keeps
+    the resume set intact instead of silently re-encoding everything."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_main_spark.operators.encode import completed_buckets
+
+    lin = tmp_path / "mixed" / "lineage"
+    lin.mkdir(parents=True)
+
+    def lineage_file(name, bucket_type, buckets):
+        pq.write_table(pa.table({
+            "bucket": pa.array(buckets, bucket_type),
+            "n_rows": pa.array([1] * len(buckets), pa.int64()),
+            "snapshot_id": pa.array(["s1"] * len(buckets), pa.string()),
+            "status": pa.array(["done"] * len(buckets), pa.string()),
+        }), str(lin / name))
+
+    lineage_file("part-old.parquet", pa.int32(), [0, 1])   # pre-r5 width
+    lineage_file("part-new.parquet", pa.int64(), [2, 3])
+
+    assert completed_buckets(spark, str(tmp_path / "mixed"), "s1") == {0, 1, 2, 3}
+    assert completed_buckets(spark, str(tmp_path / "mixed"), "other") == set()
+    assert completed_buckets(spark, str(tmp_path / "nonexistent"), "s1") == set()
