@@ -1,0 +1,185 @@
+"""Distributed table verification: re-decode every block and recompute its
+canonical digest against the one stored at encode time.
+
+The operational tool a 100 TB table needs: lineage carries per-bucket
+``content_sha`` and every block row carries the SHA-256 of its canonical
+dense serialization (FIXTURES.md invariant 1), but those digests sit NEXT
+TO the data — they prove what the encoder produced, not what the storage
+still holds. ``verify_table`` re-runs the decoders over every (block,
+column) cell, recomputes the digests from the DECODED values, and compares
+three ways:
+
+1. block level: decoded values -> canonical SHA == stored ``sha256``
+   (catches payload corruption AND any decoder regression);
+2. bucket level: recomputed ``content_sha`` over the re-derived block
+   digests == some lineage row for that bucket (catches missing/extra
+   blocks, truncated files);
+3. table level: every lineage ``done`` bucket has a bucket file and vice
+   versa (catches lost/orphaned buckets).
+
+Scale shape: one task per bucket file via the same mapInArrow pattern as
+``scan_count`` — verification is embarrassingly parallel, no shuffle, and
+each task returns a handful of summary rows. The reference's integrity
+story is parquet's page CRCs; ours is end-to-end (decode included), which
+is what actually guards a custom codec stack.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from pyspark.sql import SparkSession, functions as F
+
+from ..functions.arrow import canonical_sha, canonical_sha_lb, codec_type
+from .decode import _list_block_files, _open_parquet
+from .encode import read_meta
+
+
+def _verify_file(path: str, logical: dict[str, str], gdicts: dict) -> dict:
+    """Re-decode one bucket file; returns block counts + mismatched cells +
+    the recomputed bucket content_sha."""
+    from ..codecs import NARROW_INT, VAR_TYPES, decode_block, params_loads, rle
+    from ..codecs import fsst as _fsst, plain as _plain, prefix as _prefix
+    from ..codecs.strutil import from_blob
+    from ..functions.arrow import unpack_validity, vector_params
+    from .decode import _DATA_COLS
+
+    f = _open_parquet(path)
+    tbl = f.read(columns=sorted(set(_DATA_COLS + ["sha256"])))
+    bad: list[dict] = []
+    parts: list[str] = []
+    n_cells = 0
+    # per-bucket dictionaries (block_id = -1 rows) overlay the global ones
+    dicts = dict(gdicts)
+    from ..codecs import dict_codec
+
+    for i in range(tbl.num_rows):
+        col = tbl.column("col")[i].as_py()
+        bid = tbl.column("block_id")[i].as_py()
+        if bid < 0:
+            dicts[col] = dict_codec.load_dict(tbl.column("dict")[i].as_py())
+            continue
+        lt = logical[col]
+        ct = codec_type(lt)
+        codec = tbl.column("codec")[i].as_py()
+        data = tbl.column("data")[i].as_py()
+        n = tbl.column("n")[i].as_py()
+        stored = tbl.column("sha256")[i].as_py()
+        mask = unpack_validity(tbl.column("validity")[i].as_py(), n)
+        n_cells += 1
+        try:
+            if codec in ("fsst", "plain", "prefix") and (
+                ct in VAR_TYPES or vector_params(lt)
+            ):
+                lengths, blob = {
+                    "fsst": _fsst.decode_lb,
+                    "plain": _plain.decode_var_lb,
+                    "prefix": _prefix.decode_lb,
+                }[codec](data)
+                got = canonical_sha_lb(lengths, blob, mask)
+            elif codec in ("gdict", "bdict"):
+                ids = rle.decode(data).astype(np.int64)
+                vals = dicts[col][ids]
+                if ct in NARROW_INT:
+                    vals = vals.astype(NARROW_INT[ct])
+                elif ct == "float32":
+                    vals = vals.astype(np.float32)
+                got = canonical_sha(vals, mask, ct)
+            else:
+                vals = decode_block(
+                    data, tbl.column("dict")[i].as_py(), ct, codec,
+                    params_loads(tbl.column("params")[i].as_py()),
+                )
+                got = canonical_sha(vals, mask, ct)
+        except Exception as exc:  # decoder refused: that IS corruption here
+            bad.append({"col": col, "block_id": bid,
+                        "error": f"decode failed: {exc!r}"})
+            continue
+        if got != stored:
+            bad.append({"col": col, "block_id": bid,
+                        "error": "digest mismatch"})
+        parts.append(f"{col}:{bid}:{got}")
+    return {
+        "path": path,
+        "n_cells": n_cells,
+        "bad": bad,
+        "content_sha": hashlib.sha256(
+            ",".join(sorted(parts)).encode()).hexdigest(),
+    }
+
+
+def verify_table(spark: SparkSession, out_dir: str) -> dict:
+    """Full-table integrity check (see module docstring). Returns::
+
+        {"ok": bool, "buckets": N, "cells": M,
+         "corrupt": [{"bucket", "col", "block_id", "error"}, ...],
+         "unlinked_buckets": [...],   # bucket file without a lineage match
+         "missing_buckets": [...]}    # done lineage without a bucket file
+    """
+    from .encode import gdicts_from_json
+
+    meta = read_meta(spark, out_dir)
+    logical: dict[str, str] = meta["logical"]
+    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
+    files = [p for p, _ in _list_block_files(out_dir, spark)]
+
+    def tasks(it):
+        for batch in it:
+            for path in batch.column("path").to_pylist():
+                r = _verify_file(path, logical, gdicts)
+                yield pa.RecordBatch.from_pylist(
+                    [{"path": r["path"], "n_cells": r["n_cells"],
+                      "content_sha": r["content_sha"],
+                      "bad_json": json.dumps(r["bad"])}],
+                    schema=pa.schema([
+                        ("path", pa.string()), ("n_cells", pa.int64()),
+                        ("content_sha", pa.string()),
+                        ("bad_json", pa.string()),
+                    ]),
+                )
+
+    if files:
+        rows = (spark.createDataFrame([(p,) for p in files], "path string")
+                .repartition(len(files))
+                .mapInArrow(tasks,
+                            "path string, n_cells long, content_sha string, "
+                            "bad_json string")
+                .collect())
+    else:
+        rows = []
+
+    import re
+
+    pat = re.compile(r"/bucket=(\d+)/")
+    lineage = (spark.read.parquet(f"{out_dir}/lineage")
+               .filter(F.col("status") == "done")
+               .select("bucket", "content_sha").collect())
+    lin_shas: dict[int, set] = {}
+    for r in lineage:
+        lin_shas.setdefault(int(r["bucket"]), set()).add(r["content_sha"])
+
+    corrupt: list[dict] = []
+    unlinked: list[int] = []
+    seen_buckets: set[int] = set()
+    cells = 0
+    for r in rows:
+        bucket = int(pat.search(r["path"]).group(1))
+        seen_buckets.add(bucket)
+        cells += r["n_cells"]
+        for b in json.loads(r["bad_json"]):
+            corrupt.append({"bucket": bucket, **b})
+        if r["content_sha"] not in lin_shas.get(bucket, set()):
+            unlinked.append(bucket)
+    missing = sorted(set(lin_shas) - seen_buckets)
+    return {
+        "ok": not corrupt and not unlinked and not missing,
+        "buckets": len(seen_buckets),
+        "cells": cells,
+        "corrupt": corrupt,
+        "unlinked_buckets": sorted(set(unlinked)),
+        "missing_buckets": missing,
+    }

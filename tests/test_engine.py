@@ -1532,3 +1532,51 @@ def test_completed_buckets_tolerates_mixed_lineage_schemas(spark, tmp_path):
     assert completed_buckets(spark, str(tmp_path / "mixed"), "s1") == {0, 1, 2, 3}
     assert completed_buckets(spark, str(tmp_path / "mixed"), "other") == set()
     assert completed_buckets(spark, str(tmp_path / "nonexistent"), "s1") == set()
+
+
+def test_verify_table_detects_corruption(spark, tmp_path):
+    """verify_table: clean table verifies ok; a tampered block payload is
+    pinpointed to its (bucket, col, block_id); a deleted bucket file is
+    reported missing against lineage."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_main_spark.operators.verify import verify_table
+
+    df = webpages(spark, 600, partitions=2)
+    out = str(tmp_path / "verify_me")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=3, block_size=128,
+                                         snapshot_id="v1"))
+    rep = verify_table(spark, out)
+    assert rep["ok"], rep
+    assert rep["buckets"] == 3 and rep["cells"] > 0
+
+    # tamper: flip bytes inside one data blob of one block row
+    victim = sorted(glob.glob(f"{out}/blocks/bucket=*/*.parquet"))[0]
+    tbl = pq.read_table(victim)
+    data = tbl.column("data").to_pylist()
+    bids = tbl.column("block_id").to_pylist()
+    idx = next(i for i in range(len(data))
+               if bids[i] >= 0 and data[i] and len(data[i]) > 64)
+    # flip a byte deep in the payload (headers can carry scratch-sizing
+    # fields that do not affect decoded values; tail bytes are value data)
+    j = len(data[idx]) - 5
+    data[idx] = data[idx][:j] + bytes([data[idx][j] ^ 0xFF]) + data[idx][j + 1:]
+    tbl = tbl.set_column(tbl.column_names.index("data"), "data",
+                         pa.array(data, type=pa.binary()))
+    pq.write_table(tbl, victim)
+
+    rep = verify_table(spark, out)
+    assert not rep["ok"]
+    assert rep["corrupt"], rep
+    assert rep["corrupt"][0]["col"] == tbl.column("col")[idx].as_py()
+    assert rep["corrupt"][0]["block_id"] == bids[idx]
+    assert rep["unlinked_buckets"]  # bucket digest no longer matches lineage
+
+    # lost bucket file: reported missing, not silently ignored
+    shutil.rmtree(glob.glob(f"{out}/blocks/bucket=*")[1])
+    rep = verify_table(spark, out)
+    assert rep["missing_buckets"], rep
