@@ -744,8 +744,16 @@ def _normalize_expr(expr, logical: dict[str, str]):
                     # literals (timestamp_ntz stays wall-clock == UTC micros)
                     try:
                         v = v.replace(tzinfo=_session_zone())
-                    except LookupError:
-                        pass  # no session: keep the documented UTC fallback
+                    except LookupError as exc:
+                        # the data source path declines the pushdown here and
+                        # lets Spark resolve the zone; scan() has no such
+                        # fallback, so guessing UTC silently could return
+                        # different rows than the DS reader — refuse instead
+                        raise ValueError(
+                            "naive timestamp literal but the session timezone "
+                            "cannot be resolved; pass a tz-aware datetime or "
+                            "integer epoch micros"
+                        ) from exc
                 if v.tzinfo is not None:
                     v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
                 d = v - datetime.datetime(1970, 1, 1)

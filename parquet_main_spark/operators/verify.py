@@ -32,7 +32,7 @@ import json
 import numpy as np
 import pyarrow as pa
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
 from ..functions.arrow import canonical_sha, canonical_sha_lb, codec_type
 from .decode import _list_block_files, _open_parquet
@@ -66,6 +66,11 @@ def _verify_file(path: str, logical: dict[str, str], gdicts: dict) -> dict:
             bid = tbl.column("block_id")[i].as_py()
             if bid < 0:
                 dicts[col] = dict_codec.load_dict(tbl.column("dict")[i].as_py())
+                # dict rows participate in the bucket content_sha exactly as
+                # _lineage_row includes every block-table row (encode.py:401);
+                # their stored sha256 ("" — no canonical value digest) goes in
+                # verbatim, else any bdict-column table fails bucket matching
+                parts.append(f"{col}:{bid}:{tbl.column('sha256')[i].as_py()}")
                 continue
             lt = logical[col]
             ct = codec_type(lt)
@@ -159,12 +164,16 @@ def verify_table(spark: SparkSession, out_dir: str) -> dict:
     import re
 
     pat = re.compile(r"/bucket=(\d+)/")
-    lineage = (spark.read.parquet(f"{out_dir}/lineage")
-               .filter(F.col("status") == "done")
-               .select("bucket", "content_sha").collect())
+    # per-file pyarrow read (not spark.read.parquet over the dir): lineage
+    # dirs can mix int32/int64 bucket widths across engine versions, which
+    # breaks Spark's directory-level schema reconciliation — same tolerance
+    # completed_buckets (encode.py:829) already has
+    from ..sources.datasource import _read_parquet_rows
+
     lin_shas: dict[int, set] = {}
-    for r in lineage:
-        lin_shas.setdefault(int(r["bucket"]), set()).add(r["content_sha"])
+    for r in _read_parquet_rows(f"{out_dir}/lineage"):
+        if r.get("status") == "done":
+            lin_shas.setdefault(int(r["bucket"]), set()).add(r["content_sha"])
 
     corrupt: list[dict] = []
     unlinked: list[int] = []

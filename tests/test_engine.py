@@ -1580,3 +1580,41 @@ def test_verify_table_detects_corruption(spark, tmp_path):
     shutil.rmtree(glob.glob(f"{out}/blocks/bucket=*")[1])
     rep = verify_table(spark, out)
     assert rep["missing_buckets"], rep
+
+
+def test_verify_table_bdict_column_and_mixed_lineage(spark, tmp_path):
+    """A table with per-bucket dictionary columns (block_id=-1 rows) must
+    verify clean: the recomputed bucket content_sha includes dict rows
+    exactly as _lineage_row (encode.py) does — before the round-6 fix every
+    bdict table landed wholesale in unlinked_buckets. Also: verification
+    reads lineage per-file (pyarrow), so a legacy int32-bucket lineage file
+    next to int64 ones doesn't break it the way a whole-dir Spark read does."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_main_spark.operators.verify import verify_table
+
+    df = webpages(spark, 600, partitions=2)
+    out = str(tmp_path / "verify_bdict")
+    # global dictionaries disabled: the selector's "dict" plan lands on the
+    # per-bucket (block_id=-1) dictionary form for mid-cardinality columns
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=3, block_size=128,
+                                         snapshot_id="vb", global_dict_max_card=0))
+    blocks = spark.read.parquet(f"{out}/blocks")
+    assert blocks.filter("block_id = -1").count() > 0  # bdict rows present
+    rep = verify_table(spark, out)
+    assert rep["ok"], rep
+
+    # legacy-width lineage file alongside (pre-round-5 engines wrote int32
+    # bucket ids): per-file read tolerates it; the bogus sha for an existing
+    # bucket is just an extra candidate, not a mismatch
+    pq.write_table(pa.table({
+        "bucket": pa.array([0], pa.int32()),
+        "status": pa.array(["done"], pa.string()),
+        "content_sha": pa.array(["bogus"], pa.string()),
+    }), f"{out}/lineage/part-legacy.parquet")
+    assert glob.glob(f"{out}/lineage/*.parquet")
+    rep = verify_table(spark, out)
+    assert rep["ok"], rep
