@@ -120,6 +120,19 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         queries[qname] = round(best, 3)
 
+    # point lookup on the bucket key (r6): the driver-side bucket-hash file
+    # prune means ONE bucket file opens; reported as an extra so the
+    # headline total stays comparable with earlier rounds
+    probe_url = src.select("url").head()["url"]
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scan(spark, out, columns=["url", "lang"],
+             predicate=Predicate("url", "=", probe_url)).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    extra["point_lookup_url_sec"] = round(best, 3)
+
     # -- 3. relational + training-data queries from the contract -----------
     from parquet_main_spark.queries import BENCH_ONLY, QUERIES
 

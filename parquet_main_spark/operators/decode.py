@@ -798,6 +798,88 @@ def _normalize_expr(expr, logical: dict[str, str]):
     return walk(expr)
 
 
+_BUCKET_PAT = None  # compiled lazily (re import stays out of the hot path)
+
+
+def _bucket_candidates(expr, meta: dict) -> "set[int] | None":
+    """Driver-side bucket-hash pruning: when the RAW predicate tree (before
+    value normalization) confines the bucket key to equality/isin, the hash
+    names the only bucket files that can hold matching rows — at 2^16
+    buckets a ``url = 'x'`` lookup opens ONE file instead of scheduling 65k
+    tasks whose url zone maps prune nothing (the key is hash-scattered, so
+    per-file min/max never excludes a point). The reference's analog is
+    row-group selection before any page IO (ParquetFileReader.java:709-719).
+
+    Returns the set of possible bucket ids, or None = no restriction.
+    Conservative by construction: And intersects, Or unions (any
+    unrestricted child kills the restriction), Not and non-equality leaves
+    restrict nothing, and literals outside the verified hash matrix
+    (HASHABLE_KEY_TYPES) restrict nothing. Salted tables expand each value
+    to all ``salt`` variants of the encode expression."""
+    from ..functions.xxh64 import HASHABLE_KEY_TYPES, bucket_of
+
+    cfg = meta.get("config") or {}
+    key = cfg.get("bucket_key")
+    buckets = int(cfg.get("buckets") or 0)
+    lt = (meta.get("logical") or {}).get(key, "")
+    if not key or buckets <= 0 or expr is None or lt not in HASHABLE_KEY_TYPES:
+        return None
+    salt = int(cfg.get("salt") or 1)
+    salt_col = cfg.get("salt_col")
+
+    def walk(e) -> "set[int] | None":
+        if isinstance(e, Predicate):
+            if e.col != key:
+                return None
+            if e.op == "=":
+                vals = [e.value]
+            elif e.op == "isin":
+                vals = list(e.value)
+            else:
+                return None
+            out: set[int] = set()
+            for v in vals:
+                try:
+                    out |= bucket_of(v, lt, buckets, salt, salt_col)
+                except TypeError:
+                    return None  # unverified literal type: don't guess
+            return out
+        if isinstance(e, And):
+            sets = [s for s in (walk(c) for c in e.children) if s is not None]
+            if not sets:
+                return None
+            out = sets[0]
+            for s in sets[1:]:
+                out &= s
+            return out
+        if isinstance(e, Or):
+            out = set()
+            for c in e.children:
+                s = walk(c)
+                if s is None:
+                    return None
+                out |= s
+            return out
+        return None  # Not (or unknown node): no restriction
+
+    return walk(expr)
+
+
+def _prune_files_by_bucket(files: list, cand: "set[int] | None") -> list:
+    """Restrict a (path, size) or path list to the candidate bucket dirs."""
+    if cand is None:
+        return files
+    global _BUCKET_PAT
+    if _BUCKET_PAT is None:
+        import re
+
+        _BUCKET_PAT = re.compile(r"/bucket=(\d+)/")
+    def _path(f):
+        return f[0] if isinstance(f, tuple) else f
+    return [f for f in files
+            if (m := _BUCKET_PAT.search(_path(f))) and int(m.group(1)) in cand]
+
+
 def _list_block_files(out_dir: str, spark: SparkSession | None = None,
                       ) -> list[tuple[str, int]]:
     """Bucket files under out_dir/blocks as (path, size) pairs. Posix paths
@@ -959,10 +1041,12 @@ def scan(
     from .encode import gdicts_from_json
 
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-    expr = _normalize_expr(_as_expr(predicate), logical)
+    raw = _as_expr(predicate)
+    expr = _normalize_expr(raw, logical)
     if columns is None:
         columns = list(logical)
-    files = _list_block_files(out_dir, spark)
+    files = _prune_files_by_bucket(_list_block_files(out_dir, spark),
+                                   _bucket_candidates(raw, meta))
     units = _scan_units(files, split_bytes)
     out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in columns)
     if not units:
@@ -1059,13 +1143,15 @@ def scan_many(
                 f"{out_dirs[0]} has {logical}"
             )
     gdicts_list = [gdicts_from_json(m.get("gdicts", {}), logical) for m in metas]
-    expr = _normalize_expr(_as_expr(predicate), logical)
+    raw = _as_expr(predicate)
+    expr = _normalize_expr(raw, logical)
     if columns is None:
         columns = list(logical)
     units = []
     total_bytes = 0
     for i, d in enumerate(out_dirs):
-        files = _list_block_files(d, spark)
+        files = _prune_files_by_bucket(_list_block_files(d, spark),
+                                       _bucket_candidates(raw, metas[i]))
         total_bytes += sum(s for _, s in files)
         units.extend((p, i, lo, hi)
                      for p, lo, hi in _scan_units(files, split_bytes))
@@ -1096,8 +1182,10 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
     from .encode import gdicts_from_json
 
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-    expr = _normalize_expr(_as_expr(predicate), logical)
-    files = [p for p, _ in _list_block_files(out_dir, spark)]
+    raw = _as_expr(predicate)
+    expr = _normalize_expr(raw, logical)
+    files = _prune_files_by_bucket([p for p, _ in _list_block_files(out_dir, spark)],
+                                   _bucket_candidates(raw, meta))
     if not files:
         return 0
 
@@ -1126,13 +1214,16 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, in
     definitely matches (the stats-only COUNT fast path)."""
     meta = read_meta(spark, out_dir)
     logical: dict[str, str] = meta["logical"]
-    expr = _normalize_expr(_as_expr(predicate), logical)
+    raw = _as_expr(predicate)
+    expr = _normalize_expr(raw, logical)
     if expr is None:
         raise ValueError("pruning_report needs at least one predicate")
-    files = [p for p, _ in _list_block_files(out_dir, spark)]
+    all_files = [p for p, _ in _list_block_files(out_dir, spark)]
+    files = _prune_files_by_bucket(all_files, _bucket_candidates(raw, meta))
     if not files:
         return {"total_blocks": 0, "kept_blocks": 0, "pruned_blocks": 0,
-                "all_match_blocks": 0}
+                "all_match_blocks": 0,
+                "total_files": len(all_files), "kept_files": 0}
 
     def report_tasks(it):
         for batch in it:
@@ -1157,4 +1248,8 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, in
     total, kept = int(row["t"] or 0), int(row["k"] or 0)
     return {"total_blocks": total, "kept_blocks": kept,
             "pruned_blocks": total - kept,
-            "all_match_blocks": int(row["a"] or 0)}
+            "all_match_blocks": int(row["a"] or 0),
+            # file-level bucket-hash prune (equality/isin on the bucket key
+            # names the only bucket dirs a match can live in): files whose
+            # stats rows were never even opened
+            "total_files": len(all_files), "kept_files": len(files)}

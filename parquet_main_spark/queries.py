@@ -436,19 +436,26 @@ SELECT doc_id, lang FROM documents WHERE text >= 's' AND text <= 'u'
 
 
 def eng_compound_filter(spark, sf_dir):
-    """Conjunction of three pushed predicates across different columns —
-    zone-map intersection + AND-ed row masks (the reference composes a page
-    filter AND a row filter per scan, SkippingColumnReaderImpl.java:430-437)."""
-    from .operators.decode import Predicate, scan
+    """Compound predicate TREE pushed into the scan — a conjunction with a
+    nested disjunction, so one driver row gates both shapes: zone-map
+    survival intersects the And children and unions the Or children, the
+    row mask is the exact Kleene evaluation (the reference's arbitrary
+    Predicate<Statistics<?>> surface, SkippingColumnReaderImpl.java:430-437).
+    r6: absorbed the standalone eng_or_filter (now BENCH_ONLY) to free a
+    registry slot for eng_point_lookup under the driver's 50-row cap."""
+    from .operators.decode import And, Or, Predicate, scan
 
     out = _encoded_dir(spark, sf_dir, "lineitem", "l_orderkey")
     rows = scan(
         spark, out, columns=["l_orderkey", "l_linenumber", "l_quantity"],
-        predicate=[
+        predicate=And([
             Predicate("l_orderkey", "between", (2000, 6000)),
             Predicate("l_quantity", ">=", 25.0),
-            Predicate("l_linenumber", "<=", 3),
-        ],
+            Or([
+                Predicate("l_linenumber", "<=", 3),
+                Predicate("l_quantity", ">", 48.0),
+            ]),
+        ]),
     )
     return rows.groupBy("l_linenumber").agg(
         F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
@@ -458,7 +465,8 @@ def eng_compound_filter(spark, sf_dir):
 ENG_COMPOUND_SQL = """
 SELECT l_linenumber, count(*) AS n_lines, round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem
-WHERE l_orderkey BETWEEN 2000 AND 6000 AND l_quantity >= 25.0 AND l_linenumber <= 3
+WHERE l_orderkey BETWEEN 2000 AND 6000 AND l_quantity >= 25.0
+  AND (l_linenumber <= 3 OR l_quantity > 48.0)
 GROUP BY l_linenumber
 """
 
@@ -487,6 +495,28 @@ def eng_or_filter(spark, sf_dir):
 ENG_OR_SQL = """
 SELECT lang, count(*) AS n_docs, max(n_chars) AS max_chars
 FROM documents WHERE lang = 'de' OR n_chars > 500 GROUP BY lang
+"""
+
+
+def eng_point_lookup(spark, sf_dir):
+    """Bucket-hash point lookup: equality/isin on the BUCKET KEY restricts
+    the scan's file list driver-side via pmod(xxhash64(lit), buckets) — the
+    exact assignment encode used — so a lookup opens one bucket file per
+    key instead of scheduling a task for every bucket (the key is
+    hash-scattered, so per-file zone maps can never prune a point on it;
+    the reference's analog is row-group selection before any page IO,
+    ParquetFileReader.java:709-719). At 2^16 buckets this is the difference
+    between 4 file-opens and 65k tasks."""
+    from .operators.decode import Predicate, scan
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    return scan(spark, out, columns=["doc_id", "lang", "source", "n_chars"],
+                predicate=Predicate("doc_id", "isin", [7, 123, 321, 400]))
+
+
+ENG_POINT_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE doc_id IN (7, 123, 321, 400)
 """
 
 
@@ -1926,7 +1956,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_ts_filter": eng_ts_filter,
     "eng_binary_filter": eng_binary_filter,
     "eng_compound_filter": eng_compound_filter,
-    "eng_or_filter": eng_or_filter,
+    "eng_point_lookup": eng_point_lookup,
     "eng_startswith_filter": eng_startswith_filter,
     "eng_count_pushdown": eng_count_pushdown,
     "eng_codec_for": eng_codec_for,
@@ -1979,7 +2009,7 @@ ORACLES: dict[str, str] = {
     "eng_ts_filter": ENG_TS_SQL,
     "eng_binary_filter": ENG_BINARY_SQL,
     "eng_compound_filter": ENG_COMPOUND_SQL,
-    "eng_or_filter": ENG_OR_SQL,
+    "eng_point_lookup": ENG_POINT_SQL,
     "eng_startswith_filter": ENG_STARTSWITH_SQL,
     "eng_count_pushdown": ENG_COUNT_SQL,
     "eng_codec_for": ENG_FOR_SQL,
@@ -2022,9 +2052,13 @@ ORACLES: dict[str, str] = {
 BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_by_type": q_events_by_type,
     "q_union_key_space": q_union_key_space,
+    # r6: slot went to eng_point_lookup; the pure-Or tree stays benched and
+    # locally oracled (eng_compound_filter now carries Or in the registry)
+    "eng_or_filter": eng_or_filter,
 }
 
 BENCH_ONLY_ORACLES: dict[str, str] = {
     "q_events_by_type": Q_EVENTS_SQL,
     "q_union_key_space": Q_UNION_SQL,
+    "eng_or_filter": ENG_OR_SQL,
 }

@@ -269,6 +269,7 @@ class EncodedTableReader(DataSourceReader):
         self.out_dir = out_dir
         meta = _read_meta(out_dir)
         self.logical: dict[str, str] = meta["logical"]
+        self.config: dict = meta.get("config", {})
         self.columns = list(columns) if columns is not None else list(self.logical)
         self.split_bytes = split_bytes
         self.gdicts = gdicts_from_json(meta.get("gdicts", {}), self.logical)
@@ -286,13 +287,21 @@ class EncodedTableReader(DataSourceReader):
 
     def partitions(self) -> list[InputPartition]:
         from ..operators.decode import (
-            DEFAULT_SPLIT_BYTES, _list_block_files, _pack_parallelism,
+            DEFAULT_SPLIT_BYTES, _as_expr, _bucket_candidates,
+            _list_block_files, _pack_parallelism, _prune_files_by_bucket,
             _scan_units,
         )
 
         split = (self.split_bytes if self.split_bytes is not None
                  else DEFAULT_SPLIT_BYTES)
-        files = _list_block_files(self.out_dir)
+        # bucket-hash point-lookup pruning: pushed equality/isin on the
+        # bucket key names the only bucket files worth planning (pure-Python
+        # xxhash64 — no JVM needed, which this planner doesn't have)
+        files = _prune_files_by_bucket(
+            _list_block_files(self.out_dir),
+            _bucket_candidates(_as_expr(self.preds),
+                               {"config": self.config, "logical": self.logical}),
+        )
         units = _scan_units(files, split)
         if not units:
             return [InputPartition(None)]

@@ -1582,6 +1582,144 @@ def test_verify_table_detects_corruption(spark, tmp_path):
     assert rep["missing_buckets"], rep
 
 
+def test_xxh64_matches_spark(spark):
+    """The pure-Python xxhash64 must equal F.xxhash64 bit-for-bit across
+    every type in HASHABLE_KEY_TYPES and every bytes tail length — it is
+    what lets the driver name a point lookup's bucket file without a job."""
+    import datetime
+    import random
+    import string as _string
+
+    from parquet_main_spark.functions.xxh64 import spark_xxhash64
+
+    rng = random.Random(0xBEEF)
+    strs = ["", "a", "é☃"] + ["".join(rng.choices(_string.ascii_letters, k=k))
+                              for k in range(1, 41)]
+    df = spark.createDataFrame([(s,) for s in strs], "v string")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"], "string") == r["h"]
+
+    longs = [0, 1, -1, 2**62, -(2**62)] + [rng.randint(-2**63, 2**63 - 1)
+                                           for _ in range(10)]
+    df = spark.createDataFrame([(v,) for v in longs], "v long")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"], "int64") == r["h"]
+
+    ints = [0, -1, 2**30, -(2**30)] + [rng.randint(-2**31, 2**31 - 1)
+                                       for _ in range(10)]
+    df = spark.createDataFrame([(v,) for v in ints], "v int")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"], "int32") == r["h"]
+
+    bins = [b"", b"\x00", b"abc", bytes(rng.getrandbits(8) for _ in range(37))]
+    df = spark.createDataFrame([(v,) for v in bins], "v binary")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(bytes(r["v"]), "binary") == r["h"]
+
+    df = spark.createDataFrame(
+        [(datetime.date(2024, 5, 17),), (datetime.date(1970, 1, 1),)], "v date")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"], "date32") == r["h"]
+
+    df = spark.createDataFrame([(True,), (False,)], "v boolean")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"], "bool") == r["h"]
+
+
+def test_point_lookup_bucket_pruning(spark, encoded):
+    """Equality/isin on the bucket key restricts the scan's FILE list via
+    the bucket hash — a point lookup opens one bucket file, not all of them
+    (the hash-scattered key makes per-file zone maps useless for this)."""
+    from parquet_main_spark.operators.decode import (
+        And, Not, Or, _bucket_candidates, _list_block_files,
+        _prune_files_by_bucket, pruning_report, read_meta, scan,
+    )
+
+    out, df, _ = encoded
+    meta = read_meta(spark, out)
+    urls = [r["url"] for r in df.select("url").distinct().limit(3).collect()]
+    files = _list_block_files(out, spark)
+    assert len(files) == BUCKETS
+
+    # single equality -> exactly one candidate bucket, one file
+    cand = _bucket_candidates(Predicate("url", "=", urls[0]), meta)
+    assert cand is not None and len(cand) == 1
+    assert len(_prune_files_by_bucket(files, cand)) == 1
+    rep = pruning_report(spark, out, Predicate("url", "=", urls[0]))
+    assert rep["total_files"] == BUCKETS and rep["kept_files"] == 1
+
+    # the pruned scan still finds every matching row (hash must equal
+    # encode's assignment exactly, or the row's bucket would be pruned)
+    for u in urls:
+        got = scan(spark, out, predicate=Predicate("url", "=", u)).collect()
+        assert [r["url"] for r in got] == [u]
+
+    # isin unions candidates; And intersects with unrestricted children;
+    # Or of key equalities unions; Not restricts nothing
+    cand = _bucket_candidates(Predicate("url", "isin", urls), meta)
+    assert cand is not None and 1 <= len(cand) <= len(urls)
+    got = scan(spark, out, predicate=Predicate("url", "isin", urls)).collect()
+    assert sorted(r["url"] for r in got) == sorted(urls)
+    a = _bucket_candidates(
+        And([Predicate("url", "=", urls[0]), Predicate("lang", "=", "en")]), meta)
+    assert a == _bucket_candidates(Predicate("url", "=", urls[0]), meta)
+    o = _bucket_candidates(
+        Or([Predicate("url", "=", urls[0]), Predicate("url", "=", urls[1])]), meta)
+    assert o is not None and len(o) <= 2
+    assert _bucket_candidates(Not(Predicate("url", "=", urls[0])), meta) is None
+    assert _bucket_candidates(Predicate("lang", "=", "en"), meta) is None
+    assert _bucket_candidates(Predicate("url", ">", urls[0]), meta) is None
+
+    # non-hashable literal for the key type: conservatively unrestricted
+    assert _bucket_candidates(Predicate("url", "=", 7), meta) is None
+
+
+def test_point_lookup_salted_table(spark, tmp_path):
+    """On a salted table the lookup expands to every salt variant of the
+    encode expression: <= salt files open, and the row is still found."""
+    from parquet_main_spark.operators.decode import (
+        Predicate, _bucket_candidates, _list_block_files,
+        _prune_files_by_bucket, read_meta, scan,
+    )
+
+    df = webpages(spark, 400, partitions=2)
+    out = str(tmp_path / "salted")
+    encode_table(spark, df, EncodeConfig(out_dir=out, buckets=8, block_size=128,
+                                         snapshot_id="s", salt=4, salt_col="text"))
+    meta = read_meta(spark, out)
+    urls = [r["url"] for r in df.select("url").distinct().limit(3).collect()]
+    files = _list_block_files(out, spark)
+    cand = _bucket_candidates(Predicate("url", "=", urls[0]), meta)
+    assert cand is not None and 1 <= len(cand) <= 4
+    assert len(_prune_files_by_bucket(files, cand)) <= 4 < len(files)
+    for u in urls:
+        got = scan(spark, out, predicate=Predicate("url", "=", u)).collect()
+        assert [r["url"] for r in got] == [u]
+
+
+def test_point_lookup_datasource_partitions(spark, encoded):
+    """The Python data source planner prunes its partition list the same
+    way from a pushed EqualTo on the bucket key (no JVM in that planner —
+    this is exactly why the hash is pure Python)."""
+    from pyspark.sql.datasource import EqualTo
+
+    from parquet_main_spark.sources.datasource import EncodedTableReader, register
+
+    register(spark)
+    out, df, _ = encoded
+    url = df.select("url").head()["url"]
+    r = EncodedTableReader(out)
+    leftover = list(r.pushFilters([EqualTo(("url",), url)]))
+    assert leftover == []
+    parts = r.partitions()
+    paths = {p for part in parts for (p, _lo, _hi) in (part.value or ())}
+    assert len(paths) == 1
+    # and the full DS read through Spark still returns the row
+    got = (spark.read.format("pms_encoded").load(out)
+           .filter(F.col("url") == url).collect())
+    assert [x["url"] for x in got] == [url]
+
+
 def test_verify_table_bdict_column_and_mixed_lineage(spark, tmp_path):
     """A table with per-bucket dictionary columns (block_id=-1 rows) must
     verify clean: the recomputed bucket content_sha includes dict rows
