@@ -83,6 +83,10 @@ def _bin_from_parts(parts_off: np.ndarray, flat: np.ndarray) -> pa.Array:
 #: (queries.py). Both factors keep media_id*K1 + j*K2 far below 2^63.
 PX_K1 = 2654435761
 PX_K2 = 40503
+#: audio PCM bytes use the same arithmetic shifted by this constant, so an
+#: audio blob with the same media_id differs from the image's pixels while
+#: staying exactly SQL-derivable
+PCM_SHIFT = 101
 
 
 def synth_image_blobs(spark, n: int, partitions: int = 4) -> DataFrame:
@@ -112,7 +116,12 @@ def synth_image_blobs(spark, n: int, partitions: int = 4) -> DataFrame:
 
 
 def synth_audio_blobs(spark, n: int, partitions: int = 4) -> DataFrame:
-    """Deterministic fake-audio corpus: (media_id bigint, blob binary)."""
+    """Deterministic fake-audio corpus: (media_id bigint, blob binary).
+    PCM bytes are plain BIGINT arithmetic just like the image pixels
+    (``pcm[j] = (media_id*PX_K1 + j*PX_K2 + PCM_SHIFT) % 256``, 10 ms of
+    16-bit samples), so the tests' expectations AND a pure-SQL oracle can
+    re-derive every byte — rng-sourced PCM was the same un-oracle-able trap
+    the image corpus escaped in round 5."""
 
     def gen(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
@@ -121,9 +130,8 @@ def synth_audio_blobs(spark, n: int, partitions: int = 4) -> DataFrame:
             for i in ids:
                 rate = (8000, 16000, 44100)[int(i) % 3]
                 ch = 1 + int(i) % 2
-                rng = np.random.default_rng(int(i) ^ 0xA0D10)
-                pcm = rng.integers(0, 256, size=rate // 100 * ch * 2,
-                                   dtype=np.uint8)  # 10 ms
+                j = np.arange(rate // 100 * ch * 2, dtype=np.int64)  # 10 ms
+                pcm = ((int(i) * PX_K1 + j * PX_K2 + PCM_SHIFT) % 256).astype(np.uint8)
                 blobs.append(AUD_MAGIC + struct.pack("<IHH", rate, ch, 16)
                              + pcm.tobytes())
             yield pa.RecordBatch.from_arrays(
@@ -326,7 +334,10 @@ def sample_frames(df: DataFrame, frame_bytes: int, every_n: int,
 def audio_meta(df: DataFrame, blob_col: str = "blob",
                key_col: str = "media_id") -> DataFrame:
     """Parse the fake audio header vectorized: (sample_rate, channels, bits,
-    duration_ms). Real soundfile decode is stubbed the same way as images."""
+    duration_ms) plus ``pcm_sum`` — the exact int64 sum of the PCM payload
+    bytes (prefix-sum segment sums, same kernel as image_features), so
+    downstream checks cover the CONTENT, not just the header. Real
+    soundfile decode is stubbed the same way as images."""
 
     def run(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in it:
@@ -348,14 +359,21 @@ def audio_meta(df: DataFrame, blob_col: str = "blob",
             rate, ch, bits = (np.where(ok, x, 0) for x in (rate, ch, bits))
             denom = np.maximum(rate * ch * np.maximum(bits, 1) // 8, 1)
             dur_ms = np.where(ok, (lens - _AUD_HDR) * 1000 // denom, 0)
+            c1 = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(flat.astype(np.int64), out=c1[1:])
+            pcm_lo = np.minimum(starts + _AUD_HDR, off[1:])
+            pcm_sum = np.where(ok, c1[off[1:]] - c1[pcm_lo], 0)
             yield pa.RecordBatch.from_arrays(
                 [keys, pa.array(rate.astype(np.int32)),
                  pa.array(ch.astype(np.int32)), pa.array(bits.astype(np.int32)),
-                 pa.array(dur_ms.astype(np.int64))],
-                ["media_id", "sample_rate", "channels", "bits", "duration_ms"],
+                 pa.array(dur_ms.astype(np.int64)),
+                 pa.array(pcm_sum.astype(np.int64))],
+                ["media_id", "sample_rate", "channels", "bits", "duration_ms",
+                 "pcm_sum"],
             )
 
     return df.mapInArrow(
         run,
-        "media_id bigint, sample_rate int, channels int, bits int, duration_ms bigint",
+        "media_id bigint, sample_rate int, channels int, bits int, "
+        "duration_ms bigint, pcm_sum bigint",
     )

@@ -1906,6 +1906,46 @@ def ops_image_pipeline(spark, sf_dir):
     )
 
 
+def ops_audio_meta(spark, sf_dir):
+    """Audio pipeline plumbing: deterministic fake-audio corpus -> vectorized
+    header parse + exact PCM byte sum (operators/multimodal.py:audio_meta),
+    aggregated per (sample_rate, channels). PCM bytes are BIGINT arithmetic
+    (pcm[j] = (media_id*PX_K1 + j*PX_K2 + PCM_SHIFT) % 256), so the DuckDB
+    oracle re-derives every payload byte — content, not just headers."""
+    from .operators.multimodal import audio_meta, synth_audio_blobs
+
+    m = audio_meta(synth_audio_blobs(spark, 2000, partitions=8))
+    return (
+        m.groupBy("sample_rate", "channels")
+        .agg(F.count("*").alias("n_clips"),
+             F.sum("duration_ms").alias("total_ms"),
+             F.sum("pcm_sum").alias("pcm_total"))
+        .orderBy("sample_rate", "channels")
+    )
+
+
+OPS_AUDIO_SQL = """
+WITH ids AS (
+  SELECT i AS media_id,
+         CASE i % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+         1 + i % 2 AS ch
+  FROM range(0, 2000) t(i)
+),
+pcm AS (  -- 10 ms of 16-bit PCM: rate//100 * ch * 2 payload bytes
+  SELECT media_id, rate, ch,
+         SUM((media_id * 2654435761 + j * 40503 + 101) % 256) AS psum,
+         COUNT(*) AS n_bytes
+  FROM ids, unnest(range(0, rate // 100 * ch * 2)) AS u(j)
+  GROUP BY media_id, rate, ch
+)
+SELECT CAST(rate AS INT) AS sample_rate, CAST(ch AS INT) AS channels,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(n_bytes * 1000 // (rate * ch * 2)) AS BIGINT) AS total_ms,
+       CAST(SUM(psum) AS BIGINT) AS pcm_total
+FROM pcm GROUP BY rate, ch ORDER BY sample_rate, channels
+"""
+
+
 OPS_IMAGE_SQL = """
 WITH ids AS (
   SELECT i AS media_id, 8 + i % 9 AS w, 6 + i % 7 AS h
@@ -2055,10 +2095,13 @@ BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # r6: slot went to eng_point_lookup; the pure-Or tree stays benched and
     # locally oracled (eng_compound_filter now carries Or in the registry)
     "eng_or_filter": eng_or_filter,
+    # r6: audio pipeline — oracled locally; registry is at the 50-row cap
+    "ops_audio_meta": ops_audio_meta,
 }
 
 BENCH_ONLY_ORACLES: dict[str, str] = {
     "q_events_by_type": Q_EVENTS_SQL,
     "q_union_key_space": Q_UNION_SQL,
     "eng_or_filter": ENG_OR_SQL,
+    "ops_audio_meta": OPS_AUDIO_SQL,
 }

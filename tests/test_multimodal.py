@@ -96,15 +96,42 @@ def test_sample_frames_matches_python_oracle(spark):
 
 
 def test_audio_meta(spark):
+    import struct
+
+    import numpy as np
+
+    from parquet_main_spark.operators.multimodal import (
+        AUD_MAGIC, PCM_SHIFT, PX_K1, PX_K2,
+    )
+
+    blobs = {r["media_id"]: bytes(r["blob"])
+             for r in synth_audio_blobs(spark, 30).collect()}
     meta = audio_meta(synth_audio_blobs(spark, 30)).toPandas().set_index("media_id")
     assert len(meta) == 30
     for i in (0, 1, 2, 29):
         rate = (8000, 16000, 44100)[i % 3]
         ch = 1 + i % 2
         n_pcm = rate // 100 * ch * 2
+        # header AND PCM bytes pinned from the arithmetic alone (the corpus
+        # must stay SQL-derivable; rng PCM was r4's un-oracle-able trap)
+        j = np.arange(n_pcm, dtype=np.int64)
+        pcm = ((i * PX_K1 + j * PX_K2 + PCM_SHIFT) % 256).astype(np.uint8)
+        assert blobs[i] == (AUD_MAGIC + struct.pack("<IHH", rate, ch, 16)
+                            + pcm.tobytes())
         row = meta.loc[i]
         assert (row["sample_rate"], row["channels"], row["bits"]) == (rate, ch, 16)
         assert row["duration_ms"] == n_pcm * 1000 // (rate * ch * 2)
+        assert row["pcm_sum"] == int(pcm.astype(np.int64).sum())
+
+
+def test_audio_meta_rejects_garbage(spark):
+    """Short / wrong-magic blobs zero out instead of mis-parsing."""
+    df = spark.createDataFrame(
+        [(0, b"FAUDxx"), (1, b"NOPE" + b"\x00" * 20), (2, None)],
+        "media_id bigint, blob binary")
+    rows = {r["media_id"]: r for r in audio_meta(df).collect()}
+    for i in (0, 1, 2):
+        assert rows[i]["sample_rate"] == 0 and rows[i]["pcm_sum"] == 0
 
 
 def test_decode_not_implemented_without_fake(spark):
