@@ -28,6 +28,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="encoded table dir")
     ap.add_argument("--cores", default="*", help="local[N] cores (default *)")
+    ap.add_argument("--buckets", default=None,
+                    help="comma-separated bucket ids to verify (scoped patrol)")
+    ap.add_argument("--snapshots", default=None,
+                    help="comma-separated snapshot ids whose buckets to verify")
+    ap.add_argument("--sample", type=float, default=None,
+                    help="deterministic fraction (0,1] of buckets to verify")
     args = ap.parse_args()
 
     from parquet_main_spark.operators.verify import verify_table
@@ -36,7 +42,13 @@ def main() -> int:
     spark = get_spark(args.cores, "pms-verify")
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.perf_counter()
-    rep = verify_table(spark, args.input)
+    rep = verify_table(
+        spark, args.input,
+        buckets=([int(b) for b in args.buckets.split(",")]
+                 if args.buckets else None),
+        snapshots=args.snapshots.split(",") if args.snapshots else None,
+        sample=args.sample,
+    )
     rep["wall_sec"] = round(time.perf_counter() - t0, 2)
     print(json.dumps(rep))
     return 0 if rep["ok"] else 1

@@ -121,13 +121,33 @@ def _verify_file(path: str, logical: dict[str, str], gdicts: dict) -> dict:
     }
 
 
-def verify_table(spark: SparkSession, out_dir: str) -> dict:
-    """Full-table integrity check (see module docstring). Returns::
+def verify_table(spark: SparkSession, out_dir: str,
+                 buckets: "list[int] | None" = None,
+                 snapshots: "str | list[str] | None" = None,
+                 sample: "float | None" = None) -> dict:
+    """Integrity check (see module docstring). Returns::
 
         {"ok": bool, "buckets": N, "cells": M,
          "corrupt": [{"bucket", "col", "block_id", "error"}, ...],
          "unlinked_buckets": [...],   # bucket file without a lineage match
-         "missing_buckets": [...]}    # done lineage without a bucket file
+         "missing_buckets": [...],    # done lineage without a bucket file
+         "scope_buckets": K}          # buckets this invocation covered
+
+    Scope controls — at 100 TB the operational pattern is "verify what
+    changed" or "sample 1%", not re-decode the world on every patrol:
+
+    - ``buckets``: only these bucket ids.
+    - ``snapshots``: only buckets some ``done`` lineage row attributes to
+      one of these snapshot ids (an explicit set, not "since X": lineage
+      has no global snapshot ordering, and the caller — who named the
+      snapshots — knows their sequence).
+    - ``sample``: fraction (0, 1] of buckets, chosen DETERMINISTICALLY by
+      bucket-id hash so repeated patrols at the same rate re-check the
+      same buckets and N patrols at rate 1/N tile the table.
+
+    Scopes compose by intersection. Missing-bucket detection stays exact
+    within the scope (the scope is computed over lineage ∪ files, so a
+    bucket whose file vanished is still in scope via its lineage row).
     """
     from .encode import gdicts_from_json
 
@@ -135,6 +155,39 @@ def verify_table(spark: SparkSession, out_dir: str) -> dict:
     logical: dict[str, str] = meta["logical"]
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
     files = [p for p, _ in _list_block_files(out_dir, spark)]
+
+    import re
+
+    pat = re.compile(r"/bucket=(\d+)/")
+    # per-file pyarrow read (not spark.read.parquet over the dir): lineage
+    # dirs can mix int32/int64 bucket widths across engine versions, which
+    # breaks Spark's directory-level schema reconciliation — same tolerance
+    # completed_buckets (encode.py:829) already has
+    from ..sources.datasource import _read_parquet_rows
+
+    lin_shas: dict[int, set] = {}
+    lin_snaps: dict[int, set] = {}
+    for r in _read_parquet_rows(f"{out_dir}/lineage"):
+        if r.get("status") == "done":
+            b = int(r["bucket"])
+            lin_shas.setdefault(b, set()).add(r["content_sha"])
+            lin_snaps.setdefault(b, set()).add(r.get("snapshot_id"))
+
+    scope = {int(pat.search(p).group(1)) for p in files} | set(lin_shas)
+    if buckets is not None:
+        scope &= {int(b) for b in buckets}
+    if snapshots is not None:
+        want = {snapshots} if isinstance(snapshots, str) else set(snapshots)
+        scope &= {b for b, ss in lin_snaps.items() if ss & want}
+    if sample is not None:
+        if not (0 < sample <= 1):
+            raise ValueError(f"sample must be in (0, 1]: {sample}")
+        from ..functions.xxh64 import hash_long
+
+        scope = {b for b in scope
+                 if hash_long(b) % 1_000_000 < int(sample * 1_000_000)}
+    files = [p for p in files if int(pat.search(p).group(1)) in scope]
+    lin_shas = {b: s for b, s in lin_shas.items() if b in scope}
 
     def tasks(it):
         for batch in it:
@@ -161,20 +214,6 @@ def verify_table(spark: SparkSession, out_dir: str) -> dict:
     else:
         rows = []
 
-    import re
-
-    pat = re.compile(r"/bucket=(\d+)/")
-    # per-file pyarrow read (not spark.read.parquet over the dir): lineage
-    # dirs can mix int32/int64 bucket widths across engine versions, which
-    # breaks Spark's directory-level schema reconciliation — same tolerance
-    # completed_buckets (encode.py:829) already has
-    from ..sources.datasource import _read_parquet_rows
-
-    lin_shas: dict[int, set] = {}
-    for r in _read_parquet_rows(f"{out_dir}/lineage"):
-        if r.get("status") == "done":
-            lin_shas.setdefault(int(r["bucket"]), set()).add(r["content_sha"])
-
     corrupt: list[dict] = []
     unlinked: list[int] = []
     seen_buckets: set[int] = set()
@@ -195,4 +234,48 @@ def verify_table(spark: SparkSession, out_dir: str) -> dict:
         "corrupt": corrupt,
         "unlinked_buckets": sorted(set(unlinked)),
         "missing_buckets": missing,
+        "scope_buckets": len(scope),
     }
+
+
+def repair_buckets(spark: SparkSession, df, cfg, buckets: "list[int]"):
+    """Surgical repair: drop the named corrupt buckets (their files AND
+    their lineage rows), then re-run the encode — the resume machinery
+    (completed_buckets anti-join, encode.py) sees exactly those buckets as
+    not-done and re-encodes ONLY them from source, byte-identical to the
+    originals by the determinism invariant (same input + config + persisted
+    plan/gdicts => same bytes, FIXTURES.md invariants 3-4).
+
+    The closing half of the patrol loop: ``verify_table`` names a bucket →
+    ``repair_buckets`` restores it → a re-verify returns ok with the SAME
+    content_sha. ``df`` must be the table's source data (the engine stores
+    encoded blocks, not a second copy to heal from); ``cfg`` the original
+    EncodeConfig (same out_dir/snapshot_id/buckets/...)."""
+    import pyarrow.parquet as pq
+
+    from ..sources.datasource import _meta_files
+    from .encode import _paths, _rm_tree, encode_table
+
+    meta = read_meta(spark, cfg.out_dir)
+    if meta["snapshot_id"] != cfg.snapshot_id:
+        # encode_table treats a NEW snapshot id on an existing dir as a
+        # rewrite and clears blocks+lineage — precisely not a repair
+        raise ValueError(
+            f"repair snapshot_id {cfg.snapshot_id!r} != table's "
+            f"{meta['snapshot_id']!r}; pass the config of the run that "
+            "wrote this directory"
+        )
+    bad = {int(b) for b in buckets}
+    blocks_path, lineage_path, _ = _paths(cfg.out_dir)
+    for b in sorted(bad):
+        _rm_tree(spark, f"{blocks_path}/bucket={b}")
+    # rewrite lineage files minus the victims (per-file pyarrow — tolerates
+    # mixed-width legacy files the same way completed_buckets does)
+    for f in _meta_files(lineage_path):
+        path, fs = f if isinstance(f, tuple) else (f, None)
+        tbl = pq.read_table(path, filesystem=fs)
+        keep = [i for i, v in enumerate(tbl.column("bucket").to_pylist())
+                if int(v) not in bad]
+        if len(keep) < tbl.num_rows:
+            pq.write_table(tbl.take(keep), path, filesystem=fs)
+    return encode_table(spark, df, cfg)

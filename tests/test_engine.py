@@ -1582,6 +1582,85 @@ def test_verify_table_detects_corruption(spark, tmp_path):
     assert rep["missing_buckets"], rep
 
 
+def test_scoped_verify_and_repair(spark, tmp_path):
+    """The 100-TB patrol loop: a 3-batch (3-snapshot) table, one bucket
+    corrupted — scoped verify finds exactly it without re-decoding the
+    world, repair_buckets re-encodes ONLY it from source via the resume
+    machinery, and the healed table verifies ok with the SAME content_sha
+    lineage (byte-identical by the determinism invariant)."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_main_spark.operators.verify import repair_buckets, verify_table
+    from parquet_main_spark.sources.datasource import _read_parquet_rows
+
+    df = webpages(spark, 900, partitions=3)
+    dirs, cfgs, srcs = [], [], []
+    for k in range(3):
+        src = df.filter(F.crc32(F.col("url")) % 3 == k)
+        out = str(tmp_path / f"batch{k}")
+        cfg = EncodeConfig(out_dir=out, buckets=4, block_size=128,
+                           snapshot_id=f"s{k}")
+        encode_table(spark, src, cfg)
+        dirs.append(out), cfgs.append(cfg), srcs.append(src)
+
+    # scope controls: explicit buckets, snapshot attribution, sampling
+    rep = verify_table(spark, dirs[1], buckets=[0, 2])
+    assert rep["ok"] and rep["scope_buckets"] == 2 and rep["buckets"] == 2
+    assert verify_table(spark, dirs[1], snapshots="s1")["ok"]
+    assert verify_table(spark, dirs[1], snapshots=["nope"])["scope_buckets"] == 0
+    full = verify_table(spark, dirs[1], sample=1.0)
+    assert full["ok"] and full["scope_buckets"] == 4
+    half = verify_table(spark, dirs[1], sample=0.5)
+    assert half["ok"] and 0 < half["scope_buckets"] < 4
+    assert (verify_table(spark, dirs[1], sample=0.5)["scope_buckets"]
+            == half["scope_buckets"])  # deterministic tiling
+
+    before = {int(r["bucket"]): r["content_sha"]
+              for r in _read_parquet_rows(f"{dirs[1]}/lineage")}
+
+    # corrupt one block payload in one bucket of batch 1
+    victim = sorted(glob.glob(f"{dirs[1]}/blocks/bucket=*/*.parquet"))[0]
+    vbucket = int(victim.split("bucket=")[1].split("/")[0])
+    tbl = pq.read_table(victim)
+    data = tbl.column("data").to_pylist()
+    bids = tbl.column("block_id").to_pylist()
+    idx = next(i for i in range(len(data))
+               if bids[i] >= 0 and data[i] and len(data[i]) > 64)
+    j = len(data[idx]) - 5
+    data[idx] = data[idx][:j] + bytes([data[idx][j] ^ 0xFF]) + data[idx][j + 1:]
+    pq.write_table(tbl.set_column(tbl.column_names.index("data"), "data",
+                                  pa.array(data, type=pa.binary())), victim)
+
+    # scoped verify over just the victim bucket pinpoints it; a scope that
+    # excludes it stays green (the point of scoping)
+    rep = verify_table(spark, dirs[1], buckets=[vbucket])
+    assert not rep["ok"] and rep["corrupt"][0]["bucket"] == vbucket
+    others = [b for b in range(4) if b != vbucket]
+    assert verify_table(spark, dirs[1], buckets=others)["ok"]
+
+    # repair re-encodes exactly the victim; the table heals byte-identical
+    res = repair_buckets(spark, srcs[1], cfgs[1], [vbucket])
+    assert res.encoded_buckets == 1 and res.resumed_buckets == 3
+    healed = verify_table(spark, dirs[1])
+    assert healed["ok"], healed
+    after = {int(r["bucket"]): r["content_sha"]
+             for r in _read_parquet_rows(f"{dirs[1]}/lineage")}
+    assert after == before
+
+    # wrong-config guard: a different snapshot_id must refuse, not wipe
+    with pytest.raises(ValueError, match="snapshot_id"):
+        repair_buckets(spark, srcs[1],
+                       EncodeConfig(out_dir=dirs[1], buckets=4, block_size=128,
+                                    snapshot_id="other"), [vbucket])
+
+    # the other two batch dirs were untouched throughout
+    assert verify_table(spark, dirs[0])["ok"]
+    assert verify_table(spark, dirs[2])["ok"]
+
+
 def test_xxh64_matches_spark(spark):
     """The pure-Python xxhash64 must equal F.xxhash64 bit-for-bit across
     every type in HASHABLE_KEY_TYPES and every bytes tail length — it is
