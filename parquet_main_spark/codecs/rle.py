@@ -4,24 +4,31 @@ The analog of parquet's RunLengthBitPackingHybrid grammar as used by the
 reference for dictionary ids, levels and booleans (reference:
 src/main/java/org/apache/parquet/column/values/rle/
 RunLengthBitPackingHybridDecoder.java:101-121 grammar;
-skip arithmetic :127-159). Our grammar differs in one way: a bit-packed run's
-header carries the exact VALUE count (not a count of 8-value groups), so no
-mid-stream padding ambiguity exists.
+skip arithmetic :127-159). Our grammar differs in two ways: a bit-packed
+run's header carries the exact VALUE count (not a count of 8-value groups),
+and since round 6 every segment header lives in one fixed-width directory
+up front, so DECODE has no serial header walk at all.
 
-Layout::
+Layout (v2, written since round 6 — bit 7 of the first byte set)::
 
-    u8  width                      # bits per value (0 => all zeros)
+    u8  width | 0x80               # bits per value (0 => all zeros)
     u32 n                          # total value count
-    repeated segments:
-        varint header
-          header & 1 == 0: RLE run   — count = header >> 1,
-                                       value in ceil(width/8) bytes LE
-          header & 1 == 1: packed run — count = header >> 1,
-                                       ceil(count*width/8) packed bytes
+    u32 n_segments
+    n_segments x u32               # count << 1 | is_packed  (the directory)
+    payloads in directory order:
+        RLE segment    — value in ceil(width/8) bytes LE
+        packed segment — ceil(count*width/8) packed bytes
 
-Encoder strategy (whole-array, no per-value Python): run boundaries via
-np.diff; runs >= MIN_RLE_RUN become RLE segments, maximal stretches of
-shorter runs are fused into one bit-packed segment.
+Both decode passes are now single vectorized expressions: the directory is
+one ``np.frombuffer`` (payload positions = cumsum of sizes derived from it),
+RLE materialization is one repeat + scatter, packed materialization one
+multi-offset bit gather. The round-5 format needed a serial varint walk for
+the headers; the directory costs 4 bytes/segment vs 1-3 for the varints,
+bounded by the encode-side segment cap (max(8, n/64) segments).
+
+Legacy layout (v1, bit 7 clear — pre-round-6 tables remain readable)::
+
+    u8 width, u32 n, then repeated [varint(count<<1|is_packed), payload].
 """
 
 from __future__ import annotations
@@ -34,26 +41,15 @@ from .bitpack import pack_bits, unpack_bits
 
 MIN_RLE_RUN = 8
 
-#: decode walks segments in a Python loop, so the segment count per block is
-#: bounded at encode time: when the run structure would produce more than
-#: max(MAX_SEGMENTS_FLOOR, n // MIN_VALUES_PER_SEGMENT) segments (adversarial
-#: run-length-~8 data -> n/8 segments), the whole block is emitted as ONE
-#: bit-packed segment instead — for such short runs RLE barely compresses
-#: anyway (varint header + value bytes per run vs run*width bits packed)
+#: segment count per block is bounded at encode time: when the run structure
+#: would produce more than max(MAX_SEGMENTS_FLOOR, n // MIN_VALUES_PER_SEGMENT)
+#: segments (adversarial run-length-~8 data -> n/8 segments), the whole block
+#: is emitted as ONE bit-packed segment instead — for such short runs RLE
+#: barely compresses anyway, and the bound also caps the directory bytes
 MAX_SEGMENTS_FLOOR = 8
 MIN_VALUES_PER_SEGMENT = 64
 
-
-def _varint(x: int) -> bytes:
-    out = bytearray()
-    while True:
-        b = x & 0x7F
-        x >>= 7
-        if x:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
+_V2_FLAG = 0x80
 
 
 def _read_varint(buf: memoryview, pos: int) -> tuple[int, int]:
@@ -72,9 +68,9 @@ def encode(values: np.ndarray, width: int) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(v)
     vbytes = (width + 7) // 8
-    out = [struct.pack("<BI", width, n)]
+    head = struct.pack("<BI", width | _V2_FLAG, n)
     if n == 0 or width == 0:
-        return b"".join(out)
+        return head + struct.pack("<I", 0)
     # run-length decomposition (vectorized)
     change = np.flatnonzero(v[1:] != v[:-1])
     starts = np.concatenate(([0], change + 1))
@@ -87,40 +83,104 @@ def encode(values: np.ndarray, width: int) -> bytes:
     n_rle = int(is_rle.sum())
     stretch_starts = ~is_rle & np.concatenate(([True], is_rle[:-1]))
     n_segments = n_rle + int(stretch_starts.sum())
+    headers: list[int] = []
+    payloads: list[bytes] = []
     if n_segments > max(MAX_SEGMENTS_FLOOR, n // MIN_VALUES_PER_SEGMENT):
-        out.append(_varint((n << 1) | 1))
-        out.append(pack_bits(v, width))
-        return b"".join(out)
-    i = 0
-    while i < nruns:
-        if is_rle[i]:
-            out.append(_varint(int(lengths[i]) << 1))
-            out.append(int(v[starts[i]]).to_bytes(vbytes, "little"))
-            i += 1
-        else:
-            j = i
-            while j < nruns and not is_rle[j]:
-                j += 1
-            s, e = int(starts[i]), int(ends[j - 1])
-            cnt = e - s
-            out.append(_varint((cnt << 1) | 1))
-            out.append(pack_bits(v[s:e], width))
-            i = j
-    return b"".join(out)
+        headers.append((n << 1) | 1)
+        payloads.append(pack_bits(v, width))
+    else:
+        i = 0
+        while i < nruns:
+            if is_rle[i]:
+                headers.append(int(lengths[i]) << 1)
+                payloads.append(int(v[starts[i]]).to_bytes(vbytes, "little"))
+                i += 1
+            else:
+                j = i
+                while j < nruns and not is_rle[j]:
+                    j += 1
+                s, e = int(starts[i]), int(ends[j - 1])
+                headers.append(((e - s) << 1) | 1)
+                payloads.append(pack_bits(v[s:e], width))
+                i = j
+    return b"".join(
+        [head, struct.pack("<I", len(headers)),
+         np.asarray(headers, dtype="<u4").tobytes()] + payloads
+    )
 
 
 def decode(buf: bytes | memoryview) -> np.ndarray:
-    """Two-pass vectorized decode: pass 1 walks the varint headers only
-    (pure-int sequential work — header positions chain through the payload
-    sizes, so this pass is inherently serial but touches no payload bytes);
-    pass 2 materializes ALL RLE segments with one repeat + one scatter and
-    ALL packed segments with one multi-offset bit-gather (_gather_bits),
-    instead of one numpy slice-assign + unpack per segment. The encode-side
-    segment bound (MAX_SEGMENTS_FLOOR/MIN_VALUES_PER_SEGMENT) keeps pass 1
-    short even on adversarial run structure."""
+    """Fully vectorized decode of the v2 directory layout; v1 (pre-round-6
+    varint headers) dispatches to the legacy two-pass walk so old tables
+    stay readable."""
+    buf = memoryview(buf)
+    if not (buf[0] & _V2_FLAG):
+        return _decode_v1(buf)
+    width = buf[0] & 0x7F
+    n, nseg = struct.unpack_from("<II", buf, 1)
+    out = np.empty(n, dtype=np.uint64)
+    if width == 0 or n == 0 or nseg == 0:
+        out[:] = 0
+        return out
+    vbytes = (width + 7) // 8
+    headers = np.frombuffer(buf, dtype="<u4", count=nseg, offset=9).astype(np.int64)
+    cnts = headers >> 1
+    packed = (headers & 1).astype(bool)
+    sizes = np.where(packed, (cnts * width + 7) // 8, vbytes)
+    poss = 9 + 4 * nseg + np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    out_starts = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+    _materialize(out, width, vbytes, buf,
+                 out_starts[packed], cnts[packed], poss[packed],
+                 out_starts[~packed], cnts[~packed], poss[~packed])
+    return out
+
+
+def _materialize(out: np.ndarray, width: int, vbytes: int, buf: memoryview,
+                 p_starts, p_cnts, p_poss, r_starts, r_cnts, r_poss) -> None:
+    """Pass 2 shared by both layouts: ALL packed segments via one
+    multi-offset bit gather, ALL RLE segments via one repeat + scatter."""
     from .bitpack import _gather_bits, _pad8
 
-    buf = memoryview(buf)
+    if len(p_starts):
+        if width > 57:  # >57-bit values need >8-byte loads: exact fallback
+            for s, cnt, p in zip(p_starts, p_cnts, p_poss):
+                s, cnt, p = int(s), int(cnt), int(p)
+                nb = (cnt * width + 7) // 8
+                out[s : s + cnt] = unpack_bits(buf[p : p + nb], cnt, width)
+        else:
+            # absolute bit offset = segment payload byte * 8 + within-segment
+            # index * width (byte padding between segments is what stops a
+            # single contiguous unpack)
+            total = int(p_cnts.sum())
+            csum = np.concatenate(([0], np.cumsum(p_cnts)[:-1]))
+            within = np.arange(total, dtype=np.int64) - np.repeat(csum, p_cnts)
+            bit_off = np.repeat(p_poss * 8, p_cnts) + within * width
+            vals = _gather_bits(_pad8(buf), bit_off, width)
+            out[np.repeat(p_starts - csum, p_cnts)
+                + np.arange(total, dtype=np.int64)] = vals
+
+    if len(r_starts):
+        if len(r_starts) <= 4:
+            for s, cnt, p in zip(r_starts, r_cnts, r_poss):
+                s, cnt, p = int(s), int(cnt), int(p)
+                out[s : s + cnt] = int.from_bytes(buf[p : p + vbytes], "little")
+        else:
+            raw = np.frombuffer(buf, dtype=np.uint8)
+            vb = raw[r_poss[:, None] + np.arange(vbytes, dtype=np.int64)[None, :]]
+            weights = np.uint64(1) << (np.arange(vbytes, dtype=np.uint64)
+                                       * np.uint64(8))
+            vals = (vb.astype(np.uint64) * weights[None, :]).sum(
+                axis=1, dtype=np.uint64)
+            total = int(r_cnts.sum())
+            csum = np.concatenate(([0], np.cumsum(r_cnts)[:-1]))
+            out[np.repeat(r_starts - csum, r_cnts)
+                + np.arange(total, dtype=np.int64)] = np.repeat(vals, r_cnts)
+
+
+def _decode_v1(buf: memoryview) -> np.ndarray:
+    """Legacy (pre-round-6) layout: serial varint header walk, then the same
+    vectorized materialization. Kept so tables written by earlier engine
+    versions decode unchanged."""
     width, n = struct.unpack_from("<BI", buf, 0)
     pos = 5
     out = np.empty(n, dtype=np.uint64)
@@ -142,43 +202,10 @@ def decode(buf: bytes | memoryview) -> np.ndarray:
             pos += vbytes
         done += cnt
 
-    if packed_seg:
-        if width > 57:  # >57-bit values need >8-byte loads: exact fallback
-            for s, cnt, p in packed_seg:
-                nb = (cnt * width + 7) // 8
-                out[s : s + cnt] = unpack_bits(buf[p : p + nb], cnt, width)
-        else:
-            # one bit-gather for every packed value of the block: absolute
-            # bit offset = segment payload byte * 8 + within-segment index *
-            # width (byte padding between segments is what stops a single
-            # contiguous unpack)
-            starts = np.array([g[0] for g in packed_seg], dtype=np.int64)
-            cnts = np.array([g[1] for g in packed_seg], dtype=np.int64)
-            bposs = np.array([g[2] for g in packed_seg], dtype=np.int64)
-            total = int(cnts.sum())
-            csum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-            within = np.arange(total, dtype=np.int64) - np.repeat(csum, cnts)
-            bit_off = np.repeat(bposs * 8, cnts) + within * width
-            vals = _gather_bits(_pad8(buf), bit_off, width)
-            out[np.repeat(starts - csum, cnts)
-                + np.arange(total, dtype=np.int64)] = vals
+    def _cols(segs):
+        return (np.array([g[0] for g in segs], dtype=np.int64),
+                np.array([g[1] for g in segs], dtype=np.int64),
+                np.array([g[2] for g in segs], dtype=np.int64))
 
-    if rle_seg:
-        if len(rle_seg) <= 4:
-            for s, cnt, p in rle_seg:
-                out[s : s + cnt] = int.from_bytes(buf[p : p + vbytes], "little")
-        else:
-            raw = np.frombuffer(buf, dtype=np.uint8)
-            starts = np.array([g[0] for g in rle_seg], dtype=np.int64)
-            cnts = np.array([g[1] for g in rle_seg], dtype=np.int64)
-            vposs = np.array([g[2] for g in rle_seg], dtype=np.int64)
-            vb = raw[vposs[:, None] + np.arange(vbytes, dtype=np.int64)[None, :]]
-            weights = np.uint64(1) << (np.arange(vbytes, dtype=np.uint64)
-                                       * np.uint64(8))
-            vals = (vb.astype(np.uint64) * weights[None, :]).sum(
-                axis=1, dtype=np.uint64)
-            total = int(cnts.sum())
-            csum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
-            out[np.repeat(starts - csum, cnts)
-                + np.arange(total, dtype=np.int64)] = np.repeat(vals, cnts)
+    _materialize(out, width, vbytes, buf, *_cols(packed_seg), *_cols(rle_seg))
     return out
