@@ -822,6 +822,13 @@ def _bucket_candidates(expr, meta: dict) -> "set[int] | None":
     key = cfg.get("bucket_key")
     buckets = int(cfg.get("buckets") or 0)
     lt = (meta.get("logical") or {}).get(key, "")
+    if cfg.get("writer") == "datasource" and not cfg.get("hash_bucketed"):
+        # pms_encoded-writer tables: bucket ids are CHUNK-derived
+        # (offset + pid*spread + seq), not pmod(xxhash64(key), buckets) —
+        # hashing a literal against that id space prunes the wrong files
+        # and silently loses rows (caught round 6; the writer's bucketed
+        # mode sets hash_bucketed when ids really are the hash)
+        return None
     if not key or buckets <= 0 or expr is None or lt not in HASHABLE_KEY_TYPES:
         return None
     salt = int(cfg.get("salt") or 1)
@@ -878,6 +885,108 @@ def _prune_files_by_bucket(files: list, cand: "set[int] | None") -> list:
         return f[0] if isinstance(f, tuple) else f
     return [f for f in files
             if (m := _BUCKET_PAT.search(_path(f))) and int(m.group(1)) in cand]
+
+
+def _lineage_stats_table(out_dir: str, cols: "set[str]") -> "pa.Table | None":
+    """Bucket-granularity zone-map stats reconstructed from lineage
+    ``stats_json`` (see encode._bucket_stats_json): one synthetic stats row
+    per (bucket, col) with block_id = bucket, typed exactly like the
+    per-file stats table so ``_classify_blocks`` replays unchanged at
+    bucket granularity. Only buckets whose stats cover EVERY column in
+    ``cols`` (the predicate's leaves) are included — a bucket absent from
+    the result must be KEPT by the caller (legacy pre-round-6 lineage has
+    no stats_json). Reads lineage per-file with pyarrow driver-side (the
+    same tiny-table argument as completed_buckets; at 2^16 buckets this is
+    ~65k rows). None = no usable stats at all."""
+    from ..sources.datasource import _read_parquet_rows
+
+    try:
+        rows = _read_parquet_rows(f"{out_dir}/lineage")
+    except FileNotFoundError:
+        return None
+    import json
+
+    synth: dict[int, dict] = {}  # bucket -> per-col stats (last row wins)
+    for r in rows:
+        sj = r.get("stats_json")
+        if r.get("status") != "done" or not sj:
+            continue
+        stats = json.loads(sj)
+        if all(c in stats for c in cols):
+            synth[int(r["bucket"])] = stats
+    if not synth:
+        return None
+    out = {k: [] for k in ("block_id", "col", "n", "null_count", "min_int",
+                           "max_int", "min_num", "max_num", "min_str",
+                           "max_str")}
+    for b, stats in synth.items():
+        for c in cols:
+            s = stats[c]
+            out["block_id"].append(b)
+            out["col"].append(c)
+            out["n"].append(int(s["n"]))
+            out["null_count"].append(int(s["null_count"]))
+            for k in ("min_int", "max_int"):
+                v = s.get(k)
+                out[k].append(None if v is None else int(v))
+            for k in ("min_num", "max_num"):
+                v = s.get(k)
+                out[k].append(None if v is None else float(v))
+            for k in ("min_str", "max_str"):
+                out[k].append(s.get(k))
+    return pa.table({
+        "block_id": pa.array(out["block_id"], pa.int64()),
+        "col": pa.array(out["col"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "null_count": pa.array(out["null_count"], pa.int64()),
+        "min_int": pa.array(out["min_int"], pa.int64()),
+        "max_int": pa.array(out["max_int"], pa.int64()),
+        "min_num": pa.array(out["min_num"], pa.float64()),
+        "max_num": pa.array(out["max_num"], pa.float64()),
+        "min_str": pa.array(out["min_str"], pa.string()),
+        "max_str": pa.array(out["max_str"], pa.string()),
+    })
+
+
+def _prune_files_by_lineage(files: list, out_dir: str, expr,
+                            logical: dict[str, str]) -> list:
+    """Driver-side FILE-list pruning from the per-bucket min/max that
+    encode folds into every lineage row — the manifest-level analog of the
+    in-task zone-map prune: buckets the bucket-granularity classifier rules
+    out are dropped before any task is scheduled, so a narrow ts-range scan
+    over a long-lived streaming/append table never opens the footers of
+    off-range batch dirs. Buckets without stats (legacy lineage, non-done
+    rows) are always kept; any lineage read failure degrades to no
+    pruning. ``expr`` must be the NORMALIZED predicate tree (the same form
+    the in-task classifier sees)."""
+    if expr is None or not files:
+        return files
+    cols = {p.col for p in _expr_leaves(expr) if p.col in logical}
+    if not cols:
+        return files
+    try:
+        synth = _lineage_stats_table(out_dir, cols)
+    except Exception:
+        return files  # unreadable lineage: keep every file
+    if synth is None:
+        return files
+    may, _ = _classify_blocks(synth, expr, logical)
+    known = set(synth.column("block_id").to_pylist())
+    global _BUCKET_PAT
+    if _BUCKET_PAT is None:
+        import re
+
+        _BUCKET_PAT = re.compile(r"/bucket=(\d+)/")
+
+    def _keep(f) -> bool:
+        p = f[0] if isinstance(f, tuple) else f
+        m = _BUCKET_PAT.search(p)
+        if m is None:
+            return True
+        b = int(m.group(1))
+        return b not in known or b in may
+
+    return [f for f in files if _keep(f)]
 
 
 def _list_block_files(out_dir: str, spark: SparkSession | None = None,
@@ -1047,6 +1156,7 @@ def scan(
         columns = list(logical)
     files = _prune_files_by_bucket(_list_block_files(out_dir, spark),
                                    _bucket_candidates(raw, meta))
+    files = _prune_files_by_lineage(files, out_dir, expr, logical)
     units = _scan_units(files, split_bytes)
     out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in columns)
     if not units:
@@ -1152,6 +1262,7 @@ def scan_many(
     for i, d in enumerate(out_dirs):
         files = _prune_files_by_bucket(_list_block_files(d, spark),
                                        _bucket_candidates(raw, metas[i]))
+        files = _prune_files_by_lineage(files, d, expr, logical)
         total_bytes += sum(s for _, s in files)
         units.extend((p, i, lo, hi)
                      for p, lo, hi in _scan_units(files, split_bytes))
@@ -1186,6 +1297,7 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
     expr = _normalize_expr(raw, logical)
     files = _prune_files_by_bucket([p for p, _ in _list_block_files(out_dir, spark)],
                                    _bucket_candidates(raw, meta))
+    files = _prune_files_by_lineage(files, out_dir, expr, logical)
     if not files:
         return 0
 
@@ -1219,11 +1331,32 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, in
     if expr is None:
         raise ValueError("pruning_report needs at least one predicate")
     all_files = [p for p, _ in _list_block_files(out_dir, spark)]
-    files = _prune_files_by_bucket(all_files, _bucket_candidates(raw, meta))
+    cand_files = _prune_files_by_bucket(all_files, _bucket_candidates(raw, meta))
+    files = _prune_files_by_lineage(cand_files, out_dir, expr, logical)
+    # files the lineage min/max dropped never open, but their block counts
+    # are already in their lineage rows — fold them into the block totals so
+    # the report stays truthful about how much the engine skipped
+    lineage_pruned_files = len(cand_files) - len(files)
+    lineage_pruned_blocks = 0
+    if lineage_pruned_files:
+        from ..sources.datasource import _read_parquet_rows
+
+        nb = {int(r["bucket"]): int(r["n_blocks"])
+              for r in _read_parquet_rows(f"{out_dir}/lineage")
+              if r.get("status") == "done"}
+        import re
+
+        pat = re.compile(r"/bucket=(\d+)/")
+        dropped = set(cand_files) - set(files)
+        lineage_pruned_blocks = sum(
+            nb.get(int(m.group(1)), 0)
+            for p in dropped if (m := pat.search(p)))
     if not files:
-        return {"total_blocks": 0, "kept_blocks": 0, "pruned_blocks": 0,
-                "all_match_blocks": 0,
-                "total_files": len(all_files), "kept_files": 0}
+        return {"total_blocks": lineage_pruned_blocks, "kept_blocks": 0,
+                "pruned_blocks": lineage_pruned_blocks,
+                "all_match_blocks": 0, "total_files": len(all_files),
+                "kept_files": 0,
+                "lineage_pruned_files": lineage_pruned_files}
 
     def report_tasks(it):
         for batch in it:
@@ -1245,11 +1378,13 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, in
     row = (tasks.mapInArrow(report_tasks, "total long, kept long, allm long")
            .agg(F.sum("total").alias("t"), F.sum("kept").alias("k"),
                 F.sum("allm").alias("a")).collect()[0])
-    total, kept = int(row["t"] or 0), int(row["k"] or 0)
+    total = int(row["t"] or 0) + lineage_pruned_blocks
+    kept = int(row["k"] or 0)
     return {"total_blocks": total, "kept_blocks": kept,
             "pruned_blocks": total - kept,
             "all_match_blocks": int(row["a"] or 0),
-            # file-level bucket-hash prune (equality/isin on the bucket key
-            # names the only bucket dirs a match can live in): files whose
-            # stats rows were never even opened
-            "total_files": len(all_files), "kept_files": len(files)}
+            # file-level prunes: bucket-hash (equality/isin on the bucket
+            # key) and lineage min/max — files whose stats rows were never
+            # even opened
+            "total_files": len(all_files), "kept_files": len(files),
+            "lineage_pruned_files": lineage_pruned_files}

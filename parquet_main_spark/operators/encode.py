@@ -62,7 +62,7 @@ BLOCKS_SCHEMA = (
 #: second pass over the blocks)
 LINEAGE_TASK_SCHEMA = (
     "bucket bigint, n_rows bigint, n_blocks bigint, raw_bytes bigint, "
-    "enc_bytes bigint, codec_json string, content_sha string"
+    "enc_bytes bigint, codec_json string, content_sha string, stats_json string"
 )
 
 STATS_SCHEMA = "col string, stats string"
@@ -387,6 +387,55 @@ def _write_bucket_file(blocks_path: str, bucket: int, tbl: pa.Table) -> None:
     os.replace(tmp, f"{d}/{final_name}")
 
 
+#: lineage stats_json keys, in the block-stats column order they fold from
+_BUCKET_STAT_KEYS = ("min_int", "max_int", "min_num", "max_num",
+                     "min_str", "max_str")
+
+
+def _bucket_stats_json(tbl: pa.Table) -> str:
+    """Fold the per-block zone-map stats of one bucket into per-COLUMN
+    bucket-level bounds for the lineage row: min of block mins, max of block
+    maxes, summed n/null_count. Conservative-by-construction like the block
+    stats themselves: an unknown (None) block bound — NaN floats, truncated
+    string max — poisons the bucket bound to None (= keep on scan), and
+    all-null blocks contribute counts but no bounds. scan() replays these
+    rows through the block classifier at bucket granularity to drop whole
+    FILES driver-side (the analog of Iceberg's manifest-level min/max
+    pruning) — a narrow ts-range scan over a long-lived streaming table
+    never even opens the footers of off-range batches."""
+    bids = tbl.column("block_id").to_pylist()
+    cols = tbl.column("col").to_pylist()
+    ns = tbl.column("n").to_pylist()
+    ncs = tbl.column("null_count").to_pylist()
+    stat_vals = {k: tbl.column(k).to_pylist() for k in _BUCKET_STAT_KEYS}
+    agg: dict[str, dict] = {}
+    for i, (c, b) in enumerate(zip(cols, bids)):
+        if b < 0:
+            continue  # dictionary rows carry no zone-map stats
+        a = agg.get(c)
+        if a is None:
+            a = agg[c] = {"n": 0, "null_count": 0}
+        a["n"] += ns[i]
+        a["null_count"] += ncs[i]
+        if ncs[i] == ns[i]:
+            continue  # all-null block: no bounds to fold
+        for k in _BUCKET_STAT_KEYS:
+            v = stat_vals[k][i]
+            lo = k.startswith("min")
+            if k in a:  # seen a non-all-null block before
+                cur = a[k]
+                if cur is None or v is None:
+                    a[k] = None
+                else:
+                    a[k] = (min if lo else max)(cur, v)
+            else:
+                a[k] = v
+    for a in agg.values():
+        for k in _BUCKET_STAT_KEYS:
+            a.setdefault(k, None)
+    return json.dumps(agg, separators=(",", ":"), sort_keys=True)
+
+
 def _lineage_row(anchor: str, bucket: int, tbl: pa.Table) -> dict:
     """Per-bucket lineage record computed from the block table the task just
     wrote (formulas mirror the previous Spark aggregation so content_sha
@@ -400,6 +449,7 @@ def _lineage_row(anchor: str, bucket: int, tbl: pa.Table) -> dict:
     shas = tbl.column("sha256").to_pylist()
     parts = sorted(f"{c}:{b}:{s}" for c, b, s in zip(cols, bids, shas))
     return {
+        "stats_json": _bucket_stats_json(tbl),
         "bucket": bucket,
         "n_rows": sum(n for c, n in zip(cols, ns) if c == anchor),
         "n_blocks": len({b for b in bids if b >= 0}),
@@ -473,6 +523,7 @@ def _encode_partition(
             ("bucket", pa.int64()), ("n_rows", pa.int64()), ("n_blocks", pa.int64()),
             ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
             ("codec_json", pa.string()), ("content_sha", pa.string()),
+            ("stats_json", pa.string()),
         ]))
 
 
@@ -826,6 +877,27 @@ def _pa_write_dir(tbl: pa.Table, dir_path: str, filename: str,
     os.replace(tmp, f"{root}/{filename}")
 
 
+def bucket_expr(bucket_key: str, buckets: int, salt: int = 1,
+                salt_col: str | None = None):
+    """THE bucket-assignment expression (JVM-side, whole-stage codegen):
+    ``pmod(xxhash64(key), buckets)``, salted variant spreads each hot key
+    over ``salt`` buckets via a second hash on ``salt_col``. Shared by
+    encode_table, the pms_encoded writer's bucketed mode (callers compute
+    it with this helper before ``df.write``), and — inverted through the
+    pure-Python xxh64 port — the driver-side point-lookup file prune
+    (decode._bucket_candidates), which is why there must be exactly one
+    definition of it."""
+    if salt > 1 and salt_col:
+        e = F.pmod(
+            F.xxhash64(F.col(bucket_key))
+            + F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt)),
+            F.lit(buckets),
+        )
+    else:
+        e = F.pmod(F.xxhash64(F.col(bucket_key)), F.lit(buckets))
+    return e.cast("int")
+
+
 def completed_buckets(spark: SparkSession, out_dir: str, snapshot_id: str) -> set[int]:
     """Buckets already done for ``snapshot_id`` — the resume anti-join set.
 
@@ -948,14 +1020,9 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         os.makedirs(_local_path(blocks_path), exist_ok=True)  # empty input => empty table
 
     done = completed_buckets(spark, out_dir, cfg.snapshot_id)
-    if cfg.salt > 1 and cfg.salt_col:
-        bucket_expr = F.pmod(
-            F.xxhash64(F.col(cfg.bucket_key)) + F.pmod(F.xxhash64(F.col(cfg.salt_col)), F.lit(cfg.salt)),
-            F.lit(cfg.buckets),
-        )
-    else:
-        bucket_expr = F.pmod(F.xxhash64(F.col(cfg.bucket_key)), F.lit(cfg.buckets))
-    bucketed = df.withColumn("_bucket", bucket_expr.cast("int"))
+    bucketed = df.withColumn(
+        "_bucket",
+        bucket_expr(cfg.bucket_key, cfg.buckets, cfg.salt, cfg.salt_col))
     if done:
         bucketed = bucketed.filter(~F.col("_bucket").isin(*[int(b) for b in done]))
 
@@ -996,6 +1063,7 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                 "enc_bytes": pa.array([r["enc_bytes"] for r in lineage_rows], pa.int64()),
                 "codec_json": pa.array([r["codec_json"] for r in lineage_rows], pa.string()),
                 "content_sha": pa.array([r["content_sha"] for r in lineage_rows], pa.string()),
+                "stats_json": pa.array([r.get("stats_json") for r in lineage_rows], pa.string()),
                 "snapshot_id": pa.array([cfg.snapshot_id] * len(lineage_rows), pa.string()),
                 "status": pa.array(["done"] * len(lineage_rows), pa.string()),
             }),

@@ -726,6 +726,7 @@ class EncodedTableWriter(DataSourceArrowWriter):
             "enc_bytes": pa.array([r["enc_bytes"] for r in rows], pa.int64()),
             "codec_json": pa.array([r["codec_json"] for r in rows], pa.string()),
             "content_sha": pa.array([r["content_sha"] for r in rows], pa.string()),
+            "stats_json": pa.array([r.get("stats_json") for r in rows], pa.string()),
             "snapshot_id": pa.array([self.snapshot_id] * len(rows), pa.string()),
             "status": pa.array(["done"] * len(rows), pa.string()),
         })
