@@ -472,7 +472,33 @@ class EncodedTableWriter(DataSourceArrowWriter):
     Options: ``block_size`` (rows per block), ``bucket_rows`` (rows per
     bucket file chunk), ``order_by`` (comma-separated intra-bucket sort
     keys; defaults to the first column), ``snapshot_id``, ``plan`` (JSON
-    ``{col: codec}`` forcing, the plan_override analog)."""
+    ``{col: codec}`` forcing, the plan_override analog).
+
+    HASH-BUCKETED MODE (round 6): pass ``bucket_col`` naming a precomputed
+    int column built with :func:`operators.encode.bucket_expr` plus the
+    ``bucket_key``/``buckets`` (and optional ``salt``/``salt_col``) that
+    built it — the caller repartitions + sorts on that column JVM-side
+    (the shuffle the Python writer protocol cannot express), the writer
+    groups rows by its value, drops it from storage, and records
+    ``hash_bucketed`` in meta so point lookups on ``bucket_key`` prune to
+    one file, exactly like encode_table layouts::
+
+        b = bucket_expr("url", 64)
+        (df.withColumn("_b", b).repartition(64, "_b")
+           .sortWithinPartitions("_b", "url")
+           .write.format("pms_encoded").mode(...)
+           .option("bucket_col", "_b").option("bucket_key", "url")
+           .option("buckets", 64).save(path))
+
+    Each task spot-checks one row per bucket against the pure-Python hash,
+    so a bucket_col that was NOT built by bucket_expr fails fast instead
+    of silently producing a table whose point lookups miss.
+
+    RESUME MODE: ``resume=true`` makes a re-run of the same write
+    idempotent — bucket ids are reallocated from COMMITTED lineage (not
+    from leftover files), orphan bucket files of a killed run are swept at
+    prepare time, and buckets already committed under this snapshot_id are
+    skipped task-side (the foreachBatch at-least-once replay case)."""
 
     def __init__(self, path: str, schema, overwrite: bool, options):
         self._init_common(path, schema, options)
@@ -486,6 +512,26 @@ class EncodedTableWriter(DataSourceArrowWriter):
         self.block_size = int(options.get("block_size", 65536))
         self.bucket_rows = int(options.get("bucket_rows", 1 << 20))
         self.snapshot_id = options.get("snapshot_id", "write-0")
+        self.resume = str(options.get("resume", "")).lower() == "true"
+        self._done: set[int] = set()  # resume: committed buckets to skip
+        self._prior_buckets: set[int] = set()  # all committed buckets
+        # hash-bucketed mode: bucket_col is computed by encode.bucket_expr
+        # from (bucket_key, buckets, salt, salt_col) and never stored
+        self.bucket_col = options.get("bucket_col")
+        self.bucket_key = options.get("bucket_key")
+        self.buckets = int(options.get("buckets") or 0)
+        self.salt = int(options.get("salt") or 1)
+        self.salt_col = options.get("salt_col")
+        if self.bucket_col is not None:
+            if self.bucket_col not in self.logical:
+                raise ValueError(f"bucket_col {self.bucket_col!r} not in schema")
+            if not (self.bucket_key and self.buckets > 0):
+                raise ValueError(
+                    "bucket_col needs bucket_key and buckets options (the "
+                    "inputs of the bucket_expr that computed it)")
+            del self.logical[self.bucket_col]  # routing only, never stored
+            if self.bucket_key not in self.logical:
+                raise ValueError(f"bucket_key {self.bucket_key!r} not in schema")
         ob = options.get("order_by")
         self.order_by = ([c.strip() for c in ob.split(",")] if ob
                          else [next(iter(self.logical))])
@@ -521,6 +567,8 @@ class EncodedTableWriter(DataSourceArrowWriter):
             if exists:
                 self._load_prior()
             fs.create_dir(f"{root}/blocks", recursive=True)
+            if self.resume and not overwrite:
+                self._apply_resume()
             return
         root = _local_path(self.path)
         exists = os.path.isdir(f"{root}/meta")
@@ -531,6 +579,8 @@ class EncodedTableWriter(DataSourceArrowWriter):
         os.makedirs(f"{root}/blocks", exist_ok=True)
         if exists:
             self._load_prior()
+        if self.resume and not overwrite:
+            self._apply_resume()
 
     def _load_prior(self) -> None:
         """Append path: capture the existing table's meta + lineage so
@@ -548,11 +598,36 @@ class EncodedTableWriter(DataSourceArrowWriter):
         self.bucket_offset = self._max_bucket() + 1
 
     def _check_append(self, meta: dict | None) -> None:
-        if meta is not None and meta["logical"] != self.logical:
+        if meta is None:
+            return
+        if meta["logical"] != self.logical:
             raise ValueError(
                 f"append schema mismatch: table has {meta['logical']}, "
                 f"write has {self.logical}"
             )
+        cfg = meta.get("config") or {}
+        if bool(cfg.get("hash_bucketed")) != (self.bucket_col is not None):
+            raise ValueError(
+                "append bucketing mismatch: table hash_bucketed="
+                f"{bool(cfg.get('hash_bucketed'))}, write bucketed="
+                f"{self.bucket_col is not None}")
+        if self.bucket_col is not None:
+            mine = (self.bucket_key, self.buckets, self.salt, self.salt_col)
+            theirs = (cfg.get("bucket_key"), int(cfg.get("buckets") or 0),
+                      int(cfg.get("salt") or 1), cfg.get("salt_col"))
+            if mine != theirs:
+                raise ValueError(
+                    f"append bucketing mismatch: table uses {theirs}, "
+                    f"write uses {mine} (bucket_key, buckets, salt, salt_col)")
+            if not self.resume:
+                # one file per hash bucket: any same-bucket rows would
+                # CLOBBER committed data, and which buckets arrive is
+                # unknowable until tasks run — so only the idempotent
+                # replay (resume=true, same snapshot_id) is appendable
+                raise ValueError(
+                    "bucketed append requires resume=true (idempotent "
+                    "replay of the same snapshot); new data needs a fresh "
+                    "table/batch dir or encode_table")
 
     def _max_bucket(self) -> int:
         import re
@@ -566,6 +641,66 @@ class EncodedTableWriter(DataSourceArrowWriter):
         pat = re.compile(r"/bucket=(\d+)/")
         ids = [int(m.group(1)) for p, _ in files if (m := pat.search(p))]
         return max(ids, default=-1)
+
+    def _apply_resume(self) -> None:
+        """Make a re-run of the same write idempotent (the encode_table
+        (out_dir, snapshot_id) resume contract on the writer surface):
+
+        1. COMMITTED state is what lineage says, so bucket_offset comes
+           from the max lineage bucket — leftover files of a killed run
+           must not shift the retry's ids;
+        2. bucket files with NO lineage row are exactly those leftovers
+           (commit is atomic-last) — swept here so a changed input can't
+           leave stale phantom rows behind;
+        3. a snapshot_id that already has committed lineage rows committed
+           ATOMICALLY (lineage lands in one file at commit), so in chunked
+           mode the whole replayed write is a no-op — chunk ids are
+           offset-relative and a shifted offset would defeat a per-bucket
+           comparison; in hash-bucketed mode ids are content-derived, so
+           the skip is exact per bucket (self._done)."""
+        import re
+        import shutil
+
+        from ..operators.decode import _list_block_files
+        from ..operators.encode import _local_path, is_remote_path
+
+        try:
+            rows = _read_parquet_rows(f"{self.path}/lineage")
+        except FileNotFoundError:
+            rows = []
+        committed = {int(r["bucket"]) for r in rows if r.get("status") == "done"}
+        self._prior_buckets = committed
+        self._done = {int(r["bucket"]) for r in rows
+                      if r.get("status") == "done"
+                      and r.get("snapshot_id") == self.snapshot_id}
+        try:
+            files = _list_block_files(self.path)
+        except FileNotFoundError:
+            files = []
+        pat = re.compile(r"/bucket=(\d+)/")
+        remote = is_remote_path(self.path)
+        if remote:
+            import pyarrow.fs as pafs
+
+            fs, _root = pafs.FileSystem.from_uri(self.path)
+        for p, _sz in files:
+            m = pat.search(p)
+            if m is None or int(m.group(1)) in committed:
+                continue
+            if remote:
+                import os
+
+                _, fpath = pafs.FileSystem.from_uri(p)
+                try:
+                    fs.delete_dir(os.path.dirname(fpath))
+                except FileNotFoundError:
+                    pass
+            else:
+                import os
+
+                shutil.rmtree(os.path.dirname(_local_path(p)),
+                              ignore_errors=True)
+        self.bucket_offset = max(committed, default=-1) + 1
 
     # -- executor-side -----------------------------------------------------
 
@@ -649,10 +784,94 @@ class EncodedTableWriter(DataSourceArrowWriter):
         flush()
         return lineage
 
+    def _encode_bucketed_partition(self, iterator, blocks_path: str) -> list[dict]:
+        """Hash-bucketed write loop: rows arrive repartitioned + sorted on
+        ``bucket_col`` (the caller's JVM-side shuffle), so each bucket is a
+        contiguous run — the same stream-one-bucket-at-a-time shape as
+        encode_table's _encode_partition. The routing column is dropped
+        before encoding; one spot-check per bucket proves the column really
+        is bucket_expr(bucket_key, buckets, ...) of this row's key, so a
+        mislabeled column fails the write instead of poisoning every future
+        point lookup on the table."""
+        import numpy as np
+        import pyarrow as pa
+
+        from ..functions.xxh64 import bucket_of
+        from ..operators.encode import (
+            _encode_group, _lineage_row, _write_bucket_file,
+        )
+
+        anchor = next(iter(self.logical))
+        forced = frozenset(self.plan_override)
+        key_lt = self.logical[self.bucket_key]
+        lineage: list[dict] = []
+        closed: set[int] = set()
+        buf: list = []
+        cur: int | None = None
+
+        def flush():
+            nonlocal buf, cur
+            if cur is None or not buf:
+                return
+            if cur in closed:
+                raise RuntimeError(
+                    f"bucket {cur} arrived non-contiguously; "
+                    f"sortWithinPartitions({self.bucket_col!r}, ...) the "
+                    "input before a bucketed write")
+            closed.add(cur)
+            if cur not in self._done:
+                if cur in self._prior_buckets:
+                    # resume under a NEW snapshot hit a bucket some prior
+                    # snapshot owns — refuse BEFORE touching the file
+                    raise RuntimeError(
+                        f"bucket {cur} already committed by another "
+                        "snapshot; bucketed writes cannot rewrite history "
+                        "— use a fresh table/batch dir")
+                tbl = pa.Table.from_batches(buf).drop_columns([self.bucket_col])
+                key0 = tbl.column(self.bucket_key)[0].as_py()
+                want = bucket_of(key0, key_lt, self.buckets,
+                                 self.salt, self.salt_col)
+                if cur not in want:
+                    raise ValueError(
+                        f"bucket_col says {cur} but bucket_expr"
+                        f"({self.bucket_key!r}, {self.buckets}) maps "
+                        f"{key0!r} to {sorted(want)} — was the column built "
+                        "with operators.encode.bucket_expr and the same "
+                        "options passed here?")
+                enc = _encode_group(self.logical, self._chunk_plan(tbl),
+                                    self.block_size, self.order_by, cur, tbl,
+                                    self._gdicts, forced)
+                _write_bucket_file(blocks_path, cur, enc)
+                lineage.append(_lineage_row(anchor, cur, enc))
+            buf = []
+
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            b = batch.column(self.bucket_col).to_numpy()
+            change = np.flatnonzero(b[1:] != b[:-1]) + 1
+            bounds = np.concatenate(([0], change, [len(b)]))
+            for k in range(len(bounds) - 1):
+                s, e = int(bounds[k]), int(bounds[k + 1])
+                bk = int(b[s])
+                if bk != cur:
+                    flush()
+                    cur = bk
+                buf.append(batch.slice(s, e - s))
+        flush()
+        return lineage
+
     def write(self, iterator):
         from ..operators.encode import _paths
 
         blocks_path, _, _ = _paths(self.path)
+        if self.bucket_col is not None:
+            return _WriteResult(
+                self._encode_bucketed_partition(iterator, blocks_path))
+        if self._done:
+            # chunked-mode resume: this snapshot_id already committed
+            # (atomically), so the replayed write is a whole-run no-op
+            return _WriteResult([])
         return _WriteResult(
             self._encode_partition_chunks(iterator, blocks_path,
                                           self.bucket_offset)
@@ -698,17 +917,24 @@ class EncodedTableWriter(DataSourceArrowWriter):
             n_buckets = len({r["bucket"] for r in prior_lineage}
                             | {r["bucket"] for r in rows})
             config = dict(self._prior_meta["config"])
-            config.update(buckets=n_buckets, writer="datasource")
+            if not config.get("hash_bucketed"):
+                # hash-bucketed tables keep buckets = the hash MODULUS;
+                # chunked tables track the bucket-dir count
+                config.update(buckets=n_buckets)
+            config.update(writer="datasource")
             gdict_json = json.dumps(self._prior_meta["gdicts"])
         else:
             config = {
-                "bucket_key": self.order_by[0],
-                "buckets": len(rows),
+                "bucket_key": self.bucket_key or self.order_by[0],
+                "buckets": self.buckets if self.bucket_col else len(rows),
                 "block_size": self.block_size,
                 "order_by": self.order_by,
-                "salt": 1, "salt_col": None,
+                "salt": self.salt, "salt_col": self.salt_col,
                 "forced": sorted(self.plan_override),
                 "writer": "datasource",
+                # bucket ids really are pmod(xxhash64(key), buckets) (task-
+                # side spot-check enforced) => point lookups may hash-prune
+                "hash_bucketed": self.bucket_col is not None,
             }
             gdict_json = json.dumps({})
         meta_tbl = pa.table({
@@ -737,6 +963,22 @@ class EncodedTableWriter(DataSourceArrowWriter):
 
     def commit(self, messages):
         rows = [r for m in messages if m is not None for r in m.lineage]
+        if self.bucket_col is not None and self._prior_meta is not None:
+            # bucketed append: deterministic ids collide with prior data's —
+            # the write already clobbered those files, so fail loudly here
+            # rather than commit a table whose history is silently lost
+            # (resume=true skips committed buckets task-side and so never
+            # produces an overlapping row)
+            prior = {int(r["bucket"])
+                     for r in _read_parquet_rows(f"{self.path}/lineage")
+                     if r.get("status") == "done"}
+            clash = sorted({int(r["bucket"]) for r in rows} & prior)
+            if clash:
+                raise RuntimeError(
+                    f"bucketed append rewrote existing buckets {clash[:8]}"
+                    f"{'...' if len(clash) > 8 else ''}; same-key re-writes "
+                    "need resume=true (idempotent replay) or a fresh "
+                    "table/batch dir")
         self._write_meta_lineage(self.path, rows,
                                  f"{self.snapshot_id}-{self.bucket_offset}")
 
@@ -807,6 +1049,11 @@ class EncodedTableStreamWriter(EncodedTableWriter, DataSourceStreamArrowWriter):
 
     def __init__(self, path: str, schema, options):
         self._init_common(path, schema, options)
+        if self.bucket_col is not None:
+            raise ValueError(
+                "bucket_col is batch-only: each micro-batch dir is its own "
+                "small table (use encode_stream/scan_batches semantics); "
+                "hash-bucket the compacted table via compact_batches")
 
     def write(self, iterator):
         import uuid

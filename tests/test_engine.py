@@ -1962,3 +1962,139 @@ def test_point_lookup_not_applied_to_chunk_bucketed_tables(spark, tmp_path):
         got = scan(spark, out, columns=["url"],
                    predicate=Predicate("url", "=", u)).collect()
         assert [r["url"] for r in got] == [u]
+
+
+def test_datasource_bucketed_write_matches_encode_hash(spark, tmp_path):
+    """VERDICT r5 #6 (salting half): the writer's hash-bucketed mode —
+    bucket_col computed by encode.bucket_expr, repartition+sort JVM-side —
+    yields a table whose ids match encode_table's assignment, so point
+    lookups hash-prune to one file; a salted table expands to <= salt."""
+    from parquet_main_spark.operators.decode import (
+        _bucket_candidates, _list_block_files, _prune_files_by_bucket,
+        read_meta,
+    )
+    from parquet_main_spark.operators.encode import bucket_expr
+    from parquet_main_spark.sources.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "t")
+    df = webpages(spark, 500, partitions=4)
+    B = 8
+    (df.withColumn("_b", bucket_expr("url", B))
+       .repartition(B, "_b").sortWithinPartitions("_b", "url")
+       .write.format("pms_encoded").mode("overwrite")
+       .option("bucket_col", "_b").option("bucket_key", "url")
+       .option("buckets", B).option("block_size", 64).save(out))
+    meta = read_meta(spark, out)
+    assert meta["config"]["hash_bucketed"] and meta["config"]["buckets"] == B
+    files = _list_block_files(out, spark)
+    urls = [r["url"] for r in df.select("url").limit(5).collect()]
+    cand = _bucket_candidates(Predicate("url", "=", urls[0]), meta)
+    assert cand is not None and len(_prune_files_by_bucket(files, cand)) == 1
+    for u in urls:
+        got = scan(spark, out, predicate=Predicate("url", "=", u)).collect()
+        assert [r["url"] for r in got] == [u]
+    got = _sorted_pdf(scan(spark, out))
+    want = _sorted_pdf(df)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
+
+    # salted: each key expands over `salt` buckets; lookups expand the same
+    out2 = str(tmp_path / "salted")
+    B2, S = 8, 3
+    (df.withColumn("_b", bucket_expr("lang", B2, S, "url"))
+       .repartition(B2, "_b").sortWithinPartitions("_b", "url")
+       .write.format("pms_encoded").mode("overwrite")
+       .option("bucket_col", "_b").option("bucket_key", "lang")
+       .option("buckets", B2).option("salt", S).option("salt_col", "url")
+       .option("block_size", 64).save(out2))
+    meta2 = read_meta(spark, out2)
+    cand2 = _bucket_candidates(Predicate("lang", "=", "en"), meta2)
+    assert cand2 is not None and len(cand2) <= S
+    got = scan(spark, out2, columns=["url"],
+               predicate=Predicate("lang", "=", "en"))
+    assert got.count() == df.filter("lang = 'en'").count()
+
+    # a bucket_col NOT built by bucket_expr fails the task-side spot-check
+    with pytest.raises(Exception, match="bucket_expr"):
+        (df.withColumn("_b", (F.length("url") % B).cast("int"))
+           .repartition(B, "_b").sortWithinPartitions("_b")
+           .write.format("pms_encoded").mode("overwrite")
+           .option("bucket_col", "_b").option("bucket_key", "url")
+           .option("buckets", B).save(str(tmp_path / "bad")))
+
+
+def test_datasource_resume_replay_and_orphan_sweep(spark, tmp_path):
+    """VERDICT r5 #6 (resume half): resume=true makes a replayed write a
+    no-op (no duplicate buckets) and sweeps bucket files a killed run left
+    without lineage, so phantom rows disappear instead of shifting ids."""
+    import glob
+    import os
+    import shutil
+
+    from parquet_main_spark.sources.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "t")
+    df = webpages(spark, 400, partitions=4)
+    w = (df.write.format("pms_encoded")
+         .option("bucket_rows", 100).option("block_size", 64)
+         .option("snapshot_id", "s1").option("resume", "true"))
+    w.mode("append").save(out)
+    assert scan(spark, out).count() == 400
+    w.mode("append").save(out)  # at-least-once replay
+    assert scan(spark, out).count() == 400
+    # killed-run leftovers: a bucket dir with no lineage row
+    src = glob.glob(f"{out}/blocks/bucket=*")[0]
+    shutil.copytree(src, f"{out}/blocks/bucket=990001")
+    assert scan(spark, out).count() > 400  # phantom rows (the hazard)
+    w.mode("append").save(out)
+    assert scan(spark, out).count() == 400
+    assert not os.path.isdir(f"{out}/blocks/bucket=990001")
+
+
+def test_datasource_bucketed_append_guards(spark, tmp_path):
+    """Bucketed appends must keep the exact bucketing config, and a
+    non-resume re-write of the same keys fails loudly at commit instead of
+    silently rewriting history."""
+    from parquet_main_spark.operators.encode import bucket_expr
+    from parquet_main_spark.sources.datasource import register
+
+    register(spark)
+    out = str(tmp_path / "t")
+    df = webpages(spark, 300, partitions=2)
+    B = 4
+
+    def bucketed_write(data, mode, **opts):
+        wr = (data.withColumn("_b", bucket_expr("url", B))
+              .repartition(B, "_b").sortWithinPartitions("_b", "url")
+              .write.format("pms_encoded").mode(mode)
+              .option("bucket_col", "_b").option("bucket_key", "url")
+              .option("buckets", B).option("block_size", 64))
+        for k, v in opts.items():
+            wr = wr.option(k, v)
+        wr.save(out)
+
+    bucketed_write(df, "overwrite", snapshot_id="s1")
+    # config mismatch (different buckets) refused
+    with pytest.raises(Exception, match="bucketing mismatch"):
+        (df.withColumn("_b", bucket_expr("url", 2))
+           .repartition(2, "_b").sortWithinPartitions("_b", "url")
+           .write.format("pms_encoded").mode("append")
+           .option("bucket_col", "_b").option("bucket_key", "url")
+           .option("buckets", 2).save(out))
+    # chunked append onto a hash-bucketed table refused
+    with pytest.raises(Exception, match="bucketing mismatch"):
+        df.write.format("pms_encoded").mode("append").save(out)
+    # re-append without resume = silent history rewrite -> refused UP FRONT
+    # (before any task could clobber a committed bucket file)
+    with pytest.raises(Exception, match="resume=true"):
+        bucketed_write(df, "append", snapshot_id="s2")
+    assert scan(spark, out).count() == 300  # table untouched
+    # resume under a NEW snapshot still cannot rewrite another snapshot's
+    # buckets — tasks refuse before touching the file
+    with pytest.raises(Exception, match="rewrite history"):
+        bucketed_write(df, "append", snapshot_id="s2", resume="true")
+    assert scan(spark, out).count() == 300
+    # but an idempotent replay with resume=true is a clean no-op
+    bucketed_write(df, "append", snapshot_id="s1", resume="true")
+    assert scan(spark, out).count() == 300
