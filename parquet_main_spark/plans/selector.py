@@ -21,7 +21,7 @@ import numpy as np
 
 from ..codecs import APPLICABLE, INT_TYPES, VAR_TYPES
 from ..codecs.bitpack import bit_width
-from ..codecs.fsst import compress_corpus
+from ..codecs.fsst import probe_ratio
 from ..codecs.strutil import to_blob
 
 KMV_K = 256
@@ -86,13 +86,14 @@ def column_sample_stats(values: np.ndarray, logical_type: str,
         card = len(uniq)
         runs = 1 + int((values[1:] != values[:-1]).sum())
         dict_bytes = int(sum(len(s.encode() if isinstance(s, str) else s) for s in uniq))
-        # ratio estimate only: 2 MiB of corpus is plenty (measured ratios at
+        # ratio estimate only: 1 MiB of corpus is plenty (measured ratios at
         # 1/2/4 MiB agree to ~0.5% on web text, far inside the selector's
         # 5% hysteresis), and compressing a whole 25 MiB sample per task is
         # bandwidth the bus doesn't have — the stats wave is serial time the
-        # N->4N criterion pays at every core count
-        comp = compress_corpus(bytes(blob[: 2 << 20]))
-        blob_used = min(len(blob), 2 << 20)
+        # N->4N criterion pays at every core count. probe_ratio measures
+        # from table-building alone (no application pass): together ~4x
+        # cheaper than the round-5 compress_corpus(2 MiB) probe.
+        fsst_ratio = probe_ratio(bytes(blob[: 1 << 20]))
         from ..codecs import prefix as _prefix
 
         # prefix probe capped by BYTES, not values: 2048 html blobs are
@@ -118,7 +119,7 @@ def column_sample_stats(values: np.ndarray, logical_type: str,
             avg_len=float(lengths.mean()),
             dict_bytes=dict_bytes,
             avg_uniq_len=dict_bytes / max(1, card),
-            fsst_ratio=len(comp) / max(1, blob_used),
+            fsst_ratio=fsst_ratio,
         )
         return st
     v = np.ascontiguousarray(values, dtype=np.float64 if logical_type in ("float32", "float64") else np.int64)
