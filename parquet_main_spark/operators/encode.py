@@ -82,6 +82,13 @@ class EncodeConfig:
     # using salt_col (a unique-ish column) for the intra-key split.
     salt: int = 1
     salt_col: str | None = None
+    # overlap the stats job with the encode job's shuffle map stage: the map
+    # side never needs the plan (tasks load plan/gdicts from the meta file,
+    # which the driver writes the moment stats complete), so the two run
+    # concurrently — at cluster scale the sample wave hides entirely inside
+    # the (much longer) shuffle write. False restores the sequential
+    # stats -> encode submission.
+    overlap_stats: bool = True
     # global (external) dictionary: columns the selector sent to "dict" whose
     # exact cardinality is at most this get ONE table-wide sorted dictionary
     # (E5 analog) instead of per-block copies; 0 disables.
@@ -527,6 +534,58 @@ def _encode_partition(
         ]))
 
 
+def _await_meta(out_dir: str, snapshot_id: str, timeout_s: float = 300.0) -> dict:
+    """Task-side wait for the driver's meta write (the overlapped-stats
+    handshake): the encode job is submitted before the plan exists, and its
+    REDUCE tasks — the only ones that need the plan — poll for the meta
+    file carrying this run's ``snapshot_id``. The map stage (shuffle write)
+    runs meanwhile, overlapping with the stats job. A read error or a stale
+    snapshot's meta (mid-overwrite) counts as not-ready; the timeout turns
+    a lost driver into a loud task failure instead of a silent hang."""
+    import time as _time
+
+    from ..sources.datasource import _read_parquet_rows
+
+    _, _, meta_path = _paths(out_dir)
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        try:
+            rows = _read_parquet_rows(meta_path)
+        except Exception:
+            rows = []
+        if rows and rows[0].get("snapshot_id") == snapshot_id:
+            d = rows[0]
+            logical = json.loads(d["logical_json"])
+            return {
+                "logical": logical,
+                "plan": json.loads(d["plan_json"]),
+                "config": json.loads(d["config_json"]),
+                "gdicts": gdicts_from_json(
+                    json.loads(d.get("gdict_json") or "{}"), logical),
+            }
+        if _time.monotonic() > deadline:
+            raise RuntimeError(
+                f"encode task waited {timeout_s:.0f}s for meta of snapshot "
+                f"{snapshot_id!r} at {meta_path} — the driver's stats pass "
+                "likely died; re-run, or set EncodeConfig.overlap_stats="
+                "False to submit stats and encode sequentially")
+        _time.sleep(0.05)
+
+
+def _encode_partition_meta(
+    out_dir: str, blocks_path: str, snapshot_id: str,
+    it: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """_encode_partition variant for the overlapped-stats path: everything
+    the captured-closure form receives up front (plan, gdicts, order_by,
+    forced, block_size) is loaded from the meta file once it appears."""
+    meta = _await_meta(out_dir, snapshot_id)
+    c = meta["config"]
+    yield from _encode_partition(
+        meta["logical"], meta["plan"], c["block_size"], c["order_by"],
+        meta["gdicts"], frozenset(c["forced"]), blocks_path, it)
+
+
 def _encode_group(
     logical: dict[str, str],
     plan: dict[str, str],
@@ -920,6 +979,71 @@ def completed_buckets(spark: SparkSession, out_dir: str, snapshot_id: str) -> se
     }
 
 
+def _resolve_plan(df: DataFrame, cfg: EncodeConfig,
+                  logical: dict[str, str], plan: dict[str, str] | None,
+                  gdicts: dict[str, np.ndarray], forced: frozenset[str],
+                  on_stats_start=None):
+    """Resolve the codec plan + global dictionaries when no plan was given
+    or resumed: run the sampled stats job and promote low-cardinality dict
+    columns to a table-wide sorted dictionary (E5 analog). The dictionary
+    is built from the STATS SAMPLE's distinct values (they ride back with
+    the stats rows — zero extra jobs; r4 ran a separate collect_set
+    aggregation, a second scan of the candidate columns plus a whole job of
+    fixed cost against the N->4N scaling criterion). A value the sample
+    missed is handled at encode time: _encode_with_fallback drops that
+    block to a local dictionary, so correctness never depends on sample
+    coverage, and for genuinely low-cardinality columns (the only gdict
+    candidates) a ~64K-row stratified sample sees every value in practice.
+    Candidacy stays KMV-gated so high-card columns never ship uniqs.
+    ``on_stats_start`` (overlapped-stats handshake) fires just before the
+    stats job is submitted."""
+    if plan is not None:
+        return plan, gdicts, forced
+    if on_stats_start is not None:
+        on_stats_start()
+    plan, stats = sample_plan(df, cfg)
+    if cfg.global_dict_max_card > 0:
+        cands = [
+            c for c, codec in plan.items()
+            if codec == "dict" and codec_type(logical[c]) != "binary" and c not in forced
+            and not logical[c].startswith("decimal")  # unscaled/keyed space is bdict's job
+            and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
+        ]
+        for c in cands:
+            vals = stats.get(c, {}).get("uniq")
+            if not vals or len(vals) > cfg.global_dict_max_card:
+                continue  # over budget / a partition over cap: per-block dict
+            lt = logical[c]
+            if lt in INT_TYPES:
+                arr = np.array(vals, dtype=np.int64)
+            elif lt in ("float32", "float64"):
+                arr = np.array(vals, dtype=np.float64)
+                if np.isnan(arr).any():
+                    continue  # NaN has no sort rank; keep local dict
+            else:
+                arr = np.array(vals, dtype=object)
+            gdicts[c] = np.sort(arr)
+            plan[c] = "gdict"
+    return plan, gdicts, forced
+
+
+def _lineage_job_df(df: DataFrame, cfg: EncodeConfig, done: set[int],
+                    task_fn) -> DataFrame:
+    """The encode job's DataFrame: bucket-hash repartition (the single
+    shuffle), bucket-contiguous sort, and the per-partition encode task."""
+    bucketed = df.withColumn(
+        "_bucket",
+        bucket_expr(cfg.bucket_key, cfg.buckets, cfg.salt, cfg.salt_col))
+    if done:
+        bucketed = bucketed.filter(
+            ~F.col("_bucket").isin(*[int(b) for b in done]))
+    return (
+        bucketed.repartition(cfg.buckets, "_bucket")
+        .sortWithinPartitions("_bucket")
+        .mapInArrow(task_fn, LINEAGE_TASK_SCHEMA)
+    )
+
+
 def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
                  plan: dict[str, str] | None = None) -> EncodeResult:
     """Run (or resume) the encode job. Deterministic: same input + config
@@ -952,97 +1076,122 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         plan = prev_meta["plan"]
         gdicts = gdicts_from_json(prev_meta.get("gdicts", {}), logical)
         forced = frozenset(prev_meta["config"].get("forced", []))
-    if plan is None:
-        plan, stats = sample_plan(df, cfg)
-        # global (external) dictionary for low-cardinality columns: one
-        # table-wide sorted dictionary per column, shared by all blocks (E5
-        # analog). The dictionary is built from the STATS SAMPLE's distinct
-        # values (they ride back with the stats rows — zero extra jobs;
-        # r4 ran a separate collect_set aggregation, a second scan of the
-        # candidate columns plus a whole job of fixed cost against the
-        # N->4N scaling criterion). A value the sample missed is handled at
-        # encode time: _encode_with_fallback drops that block to a local
-        # dictionary, so correctness never depends on sample coverage, and
-        # for genuinely low-cardinality columns (the only gdict candidates)
-        # a ~64K-row stratified sample sees every value in practice.
-        # Candidacy stays KMV-gated so high-card columns never ship uniqs.
-        if cfg.global_dict_max_card > 0:
-            cands = [
-                c for c, codec in plan.items()
-                if codec == "dict" and codec_type(logical[c]) != "binary" and c not in forced
-                and not logical[c].startswith("decimal")  # unscaled/keyed space is bdict's job
-                and stats.get(c, {}).get("card", 1 << 62) <= 4 * cfg.global_dict_max_card
-            ]
-            for c in cands:
-                vals = stats.get(c, {}).get("uniq")
-                if not vals or len(vals) > cfg.global_dict_max_card:
-                    continue  # over budget / a partition over cap: per-block dict
-                lt = logical[c]
-                if lt in INT_TYPES:
-                    arr = np.array(vals, dtype=np.int64)
-                elif lt in ("float32", "float64"):
-                    arr = np.array(vals, dtype=np.float64)
-                    if np.isnan(arr).any():
-                        continue  # NaN has no sort rank; keep local dict
-                else:
-                    arr = np.array(vals, dtype=object)
-                gdicts[c] = np.sort(arr)
-                plan[c] = "gdict"
+
+    enc_thread = None
+    enc_box: dict = {}
+    done: set[int] = set()
+    overlap = plan is None and cfg.overlap_stats
+    if overlap:
+        # Submit the encode job BEFORE the plan exists: its reduce tasks
+        # wait for this run's meta (_await_meta) while the shuffle MAP
+        # stage — which never needs the plan — overlaps with the stats job
+        # below. At cluster scale the constant-size sample wave hides
+        # entirely inside the (data-proportional) shuffle write; on the
+        # bench it removes most of the stats pass from the critical path.
+        # Ordering matters on a FIFO scheduler: the stats job must hold
+        # task slots before the encode REDUCE stage can fill every slot
+        # with meta-waiting tasks, so the worker thread defers submission
+        # until the driver has entered the stats job (or 5 s pass — the
+        # _await_meta timeout is the loud backstop either way).
+        import threading
+        import time as _time
+
+        from pyspark import InheritableThread
+
+        if not is_remote_path(blocks_path):
+            import os
+
+            os.makedirs(_local_path(blocks_path), exist_ok=True)
+        done = completed_buckets(spark, out_dir, cfg.snapshot_id)
+        lineage_df = _lineage_job_df(
+            df, cfg, done,
+            partial(_encode_partition_meta, out_dir, blocks_path,
+                    cfg.snapshot_id))
+        group = f"pms-encode-{cfg.snapshot_id}"
+        stats_started = threading.Event()
+        meta_written = threading.Event()
+        sc = spark.sparkContext
+
+        def _run_encode():
+            deadline = _time.monotonic() + 5
+            while (_time.monotonic() < deadline
+                   and not meta_written.is_set()
+                   and not (stats_started.is_set()
+                            and sc.statusTracker().getActiveJobsIds())):
+                _time.sleep(0.01)
+            sc.setJobGroup(group, "pms encode (overlapped with stats)", True)
+            try:
+                enc_box["rows"] = lineage_df.collect()
+            except BaseException as exc:  # re-raised on join in the caller
+                enc_box["err"] = exc
+
+        enc_thread = InheritableThread(target=_run_encode)
+        enc_thread.start()
 
     order_by = cfg.order_by or [cfg.bucket_key]
+    try:
+        plan, gdicts, forced = _resolve_plan(
+            df, cfg, logical, plan, gdicts, forced,
+            stats_started.set if overlap else None)
 
-    # persist the plan FIRST so an interrupted run resumes with the same
-    # one. Driver-side pyarrow write: a one-row table through a Spark write
-    # job is pure fixed cost (scheduler + committer), hostile to the N->4N
-    # scaling criterion.
-    _pa_write_dir(
-        pa.table({
-            "snapshot_id": [cfg.snapshot_id],
-            "logical_json": [json.dumps(logical)],
-            "plan_json": [json.dumps(plan, sort_keys=True)],
-            "config_json": [json.dumps({
-                "bucket_key": cfg.bucket_key,
-                "buckets": cfg.buckets,
-                "block_size": cfg.block_size,
-                "order_by": order_by,
-                "salt": cfg.salt,
-                "salt_col": cfg.salt_col,
-                "forced": sorted(forced),
-            })],
-            "gdict_json": [json.dumps(gdicts_to_json(gdicts), sort_keys=True)],
-        }),
-        meta_path, "part-00000.parquet", clear=True,
-    )
+        # persist the plan FIRST so an interrupted run resumes with the
+        # same one (and, on the overlapped path, so the waiting encode
+        # reduce tasks can proceed). Driver-side pyarrow write: a one-row
+        # table through a Spark write job is pure fixed cost (scheduler +
+        # committer), hostile to the N->4N scaling criterion.
+        _pa_write_dir(
+            pa.table({
+                "snapshot_id": [cfg.snapshot_id],
+                "logical_json": [json.dumps(logical)],
+                "plan_json": [json.dumps(plan, sort_keys=True)],
+                "config_json": [json.dumps({
+                    "bucket_key": cfg.bucket_key,
+                    "buckets": cfg.buckets,
+                    "block_size": cfg.block_size,
+                    "order_by": order_by,
+                    "salt": cfg.salt,
+                    "salt_col": cfg.salt_col,
+                    "forced": sorted(forced),
+                })],
+                "gdict_json": [json.dumps(gdicts_to_json(gdicts), sort_keys=True)],
+            }),
+            meta_path, "part-00000.parquet", clear=True,
+        )
+    except BaseException:
+        # a dead stats pass (or meta write) must not leave the overlapped
+        # encode job's reduce tasks polling until their timeout
+        if enc_thread is not None:
+            spark.sparkContext.cancelJobGroup(group)
+            enc_thread.join(timeout=30)
+        raise
+    if overlap:
+        meta_written.set()
 
     if not is_remote_path(blocks_path):
         import os
 
         os.makedirs(_local_path(blocks_path), exist_ok=True)  # empty input => empty table
 
-    done = completed_buckets(spark, out_dir, cfg.snapshot_id)
-    bucketed = df.withColumn(
-        "_bucket",
-        bucket_expr(cfg.bucket_key, cfg.buckets, cfg.salt, cfg.salt_col))
-    if done:
-        bucketed = bucketed.filter(~F.col("_bucket").isin(*[int(b) for b in done]))
-
     # ONE job end to end: the encode tasks write their bucket parquet files
     # directly (atomic rename, deterministic content => idempotent under
     # retry/speculation) and return only per-bucket lineage rows, which the
     # driver appends to the checkpoint table. No Spark write stage touches an
     # encoded blob and no second pass re-reads the blocks for lineage.
-    lineage_df = (
-        bucketed.repartition(cfg.buckets, "_bucket")
-        .sortWithinPartitions("_bucket")
-        .mapInArrow(
-            partial(_encode_partition, logical, plan, cfg.block_size, order_by,
-                    gdicts, forced, blocks_path),
-            LINEAGE_TASK_SCHEMA,
-        )
-    )
+    if enc_thread is not None:
+        enc_thread.join()
+        if "err" in enc_box:
+            raise enc_box["err"]
+        collected = enc_box["rows"]
+    else:
+        done = completed_buckets(spark, out_dir, cfg.snapshot_id)
+        lineage_df = _lineage_job_df(
+            df, cfg, done,
+            partial(_encode_partition, logical, plan, cfg.block_size,
+                    order_by, gdicts, forced, blocks_path))
+        collected = lineage_df.collect()
     lineage_rows = [
         {**r.asDict(), "snapshot_id": cfg.snapshot_id, "status": "done"}
-        for r in lineage_df.collect()
+        for r in collected
     ]
     if lineage_rows:
         # append one file per run, driver-side (same fixed-cost argument as

@@ -2098,3 +2098,53 @@ def test_datasource_bucketed_append_guards(spark, tmp_path):
     # but an idempotent replay with resume=true is a clean no-op
     bucketed_write(df, "append", snapshot_id="s1", resume="true")
     assert scan(spark, out).count() == 300
+
+
+def test_overlapped_stats_encode_byte_identical(spark, tmp_path):
+    """overlap_stats=True submits the encode job before the plan exists
+    (reduce tasks wait for meta; the map stage overlaps the stats job) —
+    the output must be byte-identical to the sequential submission."""
+    df = webpages(spark, 600, partitions=8)
+
+    def lineage_of(out, flag):
+        cfg = EncodeConfig(out_dir=out, buckets=8, block_size=64,
+                           snapshot_id="ov", overlap_stats=flag)
+        res = encode_table(spark, df, cfg)
+        rows = (spark.read.parquet(f"{out}/lineage")
+                .select("bucket", "enc_bytes", "content_sha")
+                .orderBy("bucket").collect())
+        return res.plan, [(r["bucket"], r["enc_bytes"], r["content_sha"])
+                          for r in rows]
+
+    plan_s, seq = lineage_of(str(tmp_path / "seq"), False)
+    plan_o, ovl = lineage_of(str(tmp_path / "ovl"), True)
+    assert plan_s == plan_o
+    assert seq == ovl
+    got = _sorted_pdf(scan(spark, str(tmp_path / "ovl")))
+    want = _sorted_pdf(df)[got.columns.tolist()]
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_overlapped_stats_failure_cancels_encode(spark, tmp_path, monkeypatch):
+    """If the stats pass dies, the overlapped encode job must be cancelled
+    (not left polling for a meta file that will never appear) and no
+    partial table may remain."""
+    import os
+
+    import parquet_main_spark.operators.encode as enc
+
+    def boom(df, cfg):
+        raise RuntimeError("stats pass died")
+
+    monkeypatch.setattr(enc, "sample_plan", boom)
+    out = str(tmp_path / "t")
+    df = webpages(spark, 200, partitions=4)
+    with pytest.raises(RuntimeError, match="stats pass died"):
+        encode_table(spark, df, EncodeConfig(
+            out_dir=out, buckets=4, block_size=64, snapshot_id="s",
+            overlap_stats=True))
+    # no meta for this snapshot => no bucket file can have been written
+    assert not os.path.isdir(f"{out}/meta")
+    blocks = f"{out}/blocks"
+    assert not os.path.isdir(blocks) or not any(
+        name.startswith("bucket=") for name in os.listdir(blocks))
