@@ -798,7 +798,55 @@ def _normalize_expr(expr, logical: dict[str, str]):
     return walk(expr)
 
 
-_BUCKET_PAT = None  # compiled lazily (re import stays out of the hot path)
+import re as _re
+
+_BUCKET_PAT = _re.compile(r"/bucket=(\d+)/")
+
+
+def bucket_id_of_path(path: str) -> "int | None":
+    """Bucket id encoded in a block-file path (``.../bucket=N/...``), or
+    None for paths outside the layout. THE single parser of the bucket-dir
+    convention — pruning, the DS planner, resume, verify and reporting all
+    route through here so a layout change cannot make them disagree about
+    which files belong to which bucket."""
+    m = _BUCKET_PAT.search(path)
+    return int(m.group(1)) if m else None
+
+
+#: driver-side lineage cache: out_dir -> (listing fingerprint, parsed rows).
+#: Point-lookup workloads scan the same table repeatedly; re-reading and
+#: json-parsing ~`buckets` lineage rows per scan is pure fixed cost. The
+#: fingerprint is the lineage dir's (name, size, mtime_ns) listing — any
+#: append/repair/compact changes it (file names are content-derived, and
+#: in-place repair rewrites bump mtime via atomic replace) and invalidates.
+_LINEAGE_CACHE: dict[str, tuple[tuple, list]] = {}
+_LINEAGE_CACHE_MAX = 32
+
+
+def _lineage_rows(out_dir: str) -> list:
+    """Parsed lineage rows of a table, cached for local dirs (remote URIs
+    read through every time — listing + stat round-trips there cost as much
+    as the read itself). Raises FileNotFoundError like the raw reader."""
+    from ..sources.datasource import _read_parquet_rows
+    from .encode import is_remote_path
+
+    path = f"{out_dir}/lineage"
+    if is_remote_path(path):
+        return _read_parquet_rows(path)
+    import os
+
+    with os.scandir(path) as it:  # FileNotFoundError propagates
+        fp = tuple(sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in it if e.name.endswith(".parquet")))
+    hit = _LINEAGE_CACHE.get(out_dir)
+    if hit is not None and hit[0] == fp:
+        return hit[1]
+    rows = _read_parquet_rows(path)
+    if len(_LINEAGE_CACHE) >= _LINEAGE_CACHE_MAX:
+        _LINEAGE_CACHE.pop(next(iter(_LINEAGE_CACHE)))
+    _LINEAGE_CACHE[out_dir] = (fp, rows)
+    return rows
 
 
 def _bucket_candidates(expr, meta: dict) -> "set[int] | None":
@@ -876,15 +924,12 @@ def _prune_files_by_bucket(files: list, cand: "set[int] | None") -> list:
     """Restrict a (path, size) or path list to the candidate bucket dirs."""
     if cand is None:
         return files
-    global _BUCKET_PAT
-    if _BUCKET_PAT is None:
-        import re
 
-        _BUCKET_PAT = re.compile(r"/bucket=(\d+)/")
     def _path(f):
         return f[0] if isinstance(f, tuple) else f
+
     return [f for f in files
-            if (m := _BUCKET_PAT.search(_path(f))) and int(m.group(1)) in cand]
+            if (b := bucket_id_of_path(_path(f))) is not None and b in cand]
 
 
 def _lineage_stats_table(out_dir: str, cols: "set[str]") -> "pa.Table | None":
@@ -898,10 +943,8 @@ def _lineage_stats_table(out_dir: str, cols: "set[str]") -> "pa.Table | None":
     no stats_json). Reads lineage per-file with pyarrow driver-side (the
     same tiny-table argument as completed_buckets; at 2^16 buckets this is
     ~65k rows). None = no usable stats at all."""
-    from ..sources.datasource import _read_parquet_rows
-
     try:
-        rows = _read_parquet_rows(f"{out_dir}/lineage")
+        rows = _lineage_rows(out_dir)
     except FileNotFoundError:
         return None
     import json
@@ -972,19 +1015,11 @@ def _prune_files_by_lineage(files: list, out_dir: str, expr,
         return files
     may, _ = _classify_blocks(synth, expr, logical)
     known = set(synth.column("block_id").to_pylist())
-    global _BUCKET_PAT
-    if _BUCKET_PAT is None:
-        import re
-
-        _BUCKET_PAT = re.compile(r"/bucket=(\d+)/")
 
     def _keep(f) -> bool:
         p = f[0] if isinstance(f, tuple) else f
-        m = _BUCKET_PAT.search(p)
-        if m is None:
-            return True
-        b = int(m.group(1))
-        return b not in known or b in may
+        b = bucket_id_of_path(p)
+        return b is None or b not in known or b in may
 
     return [f for f in files if _keep(f)]
 
@@ -1170,6 +1205,55 @@ def scan(
     )
 
 
+def lookup(
+    spark: SparkSession,
+    out_dir: str,
+    predicate: "Predicate | And | Or | Not | list",
+    columns: list[str] | None = None,
+    max_bytes: int = 64 << 20,
+    max_files: int = 16,
+) -> pa.Table:
+    """Point-lookup fast path: when the two driver-side pruning layers
+    (bucket-hash candidates + lineage min/max) narrow the file list to a
+    handful of small files, decode them ON THE DRIVER with the same
+    internal reader the scan tasks use and return a pyarrow Table — no
+    Spark job at all. A ``url = 'x'`` get against a 2^16-bucket table is
+    one footer + a few row groups: scheduling a distributed job for it
+    costs ~100x the read (measured ~0.7 s job vs ~10 ms driver read at
+    sf0.1). The metadata-only-read analog of Iceberg manifests / an
+    HBase-style get on a warehouse layout.
+
+    Falls back to the distributed ``scan`` (collected via Arrow) whenever
+    the pruned file list is still large — ``max_bytes`` bounds driver
+    memory/IO, ``max_files`` bounds footer round-trips — so callers can use
+    it for ANY predicate without a scale trap: selective ones stay on the
+    driver, broad ones run as jobs. Row order is not defined."""
+    meta = read_meta(spark, out_dir)
+    logical: dict[str, str] = meta["logical"]
+    from .encode import gdicts_from_json
+
+    raw = _as_expr(predicate)
+    if raw is None:
+        raise ValueError("lookup needs a predicate; use scan for full reads")
+    expr = _normalize_expr(raw, logical)
+    if columns is None:
+        columns = list(logical)
+    files = _prune_files_by_bucket(_list_block_files(out_dir, spark),
+                                   _bucket_candidates(raw, meta))
+    files = _prune_files_by_lineage(files, out_dir, expr, logical)
+    schema = pa.schema([(c, _pa_type(logical[c])) for c in columns])
+    if not files:
+        return schema.empty_table()
+    if len(files) > max_files or sum(s for _, s in files) > max_bytes:
+        return scan(spark, out_dir, list(columns), predicate).toArrow()
+    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
+    batches = [b for path, _ in files
+               for b in _decode_file(path, logical, list(columns), expr, gdicts)]
+    if not batches:
+        return schema.empty_table()
+    return pa.Table.from_batches(batches).cast(schema)
+
+
 def _count_file(path: str, logical: dict[str, str], expr, gdicts: dict) -> int:
     """COUNT(*) over one bucket file with a pushed predicate, reading as
     little as possible: blocks the zone map classifies as definite-all-match
@@ -1339,18 +1423,14 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, in
     lineage_pruned_files = len(cand_files) - len(files)
     lineage_pruned_blocks = 0
     if lineage_pruned_files:
-        from ..sources.datasource import _read_parquet_rows
-
+        # cached parse — _prune_files_by_lineage just read the same rows
         nb = {int(r["bucket"]): int(r["n_blocks"])
-              for r in _read_parquet_rows(f"{out_dir}/lineage")
+              for r in _lineage_rows(out_dir)
               if r.get("status") == "done"}
-        import re
-
-        pat = re.compile(r"/bucket=(\d+)/")
         dropped = set(cand_files) - set(files)
         lineage_pruned_blocks = sum(
-            nb.get(int(m.group(1)), 0)
-            for p in dropped if (m := pat.search(p)))
+            nb.get(b, 0) for p in dropped
+            if (b := bucket_id_of_path(p)) is not None)
     if not files:
         return {"total_blocks": lineage_pruned_blocks, "kept_blocks": 0,
                 "pruned_blocks": lineage_pruned_blocks,

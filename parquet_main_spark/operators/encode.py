@@ -1110,15 +1110,23 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         group = f"pms-encode-{cfg.snapshot_id}"
         stats_started = threading.Event()
         meta_written = threading.Event()
+        aborted = threading.Event()
         sc = spark.sparkContext
 
         def _run_encode():
             deadline = _time.monotonic() + 5
             while (_time.monotonic() < deadline
                    and not meta_written.is_set()
+                   and not aborted.is_set()
                    and not (stats_started.is_set()
                             and sc.statusTracker().getActiveJobsIds())):
                 _time.sleep(0.01)
+            if aborted.is_set():
+                # stats died while we were still waiting: never submit — a
+                # cancelJobGroup from the caller can only cancel jobs that
+                # already RUN, so submitting here would leave an orphan job
+                # whose reduce tasks poll _await_meta to their timeout
+                return
             sc.setJobGroup(group, "pms encode (overlapped with stats)", True)
             try:
                 enc_box["rows"] = lineage_df.collect()
@@ -1159,10 +1167,17 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         )
     except BaseException:
         # a dead stats pass (or meta write) must not leave the overlapped
-        # encode job's reduce tasks polling until their timeout
+        # encode job's reduce tasks polling until their timeout. aborted
+        # stops a still-waiting worker from submitting at all; for a job
+        # already (or about to be) submitted, cancelJobGroup only reaches
+        # RUNNING jobs — so keep cancelling until the thread exits (bounded)
         if enc_thread is not None:
-            spark.sparkContext.cancelJobGroup(group)
-            enc_thread.join(timeout=30)
+            aborted.set()
+            for _ in range(60):
+                spark.sparkContext.cancelJobGroup(group)
+                enc_thread.join(timeout=0.5)
+                if not enc_thread.is_alive():
+                    break
         raise
     if overlap:
         meta_written.set()

@@ -156,9 +156,8 @@ def verify_table(spark: SparkSession, out_dir: str,
     gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
     files = [p for p, _ in _list_block_files(out_dir, spark)]
 
-    import re
+    from .decode import bucket_id_of_path
 
-    pat = re.compile(r"/bucket=(\d+)/")
     # per-file pyarrow read (not spark.read.parquet over the dir): lineage
     # dirs can mix int32/int64 bucket widths across engine versions, which
     # breaks Spark's directory-level schema reconciliation — same tolerance
@@ -173,7 +172,8 @@ def verify_table(spark: SparkSession, out_dir: str,
             lin_shas.setdefault(b, set()).add(r["content_sha"])
             lin_snaps.setdefault(b, set()).add(r.get("snapshot_id"))
 
-    scope = {int(pat.search(p).group(1)) for p in files} | set(lin_shas)
+    scope = ({b for p in files if (b := bucket_id_of_path(p)) is not None}
+             | set(lin_shas))
     if buckets is not None:
         scope &= {int(b) for b in buckets}
     if snapshots is not None:
@@ -186,7 +186,7 @@ def verify_table(spark: SparkSession, out_dir: str,
 
         scope = {b for b in scope
                  if hash_long(b) % 1_000_000 < int(sample * 1_000_000)}
-    files = [p for p in files if int(pat.search(p).group(1)) in scope]
+    files = [p for p in files if bucket_id_of_path(p) in scope]
     lin_shas = {b: s for b, s in lin_shas.items() if b in scope}
 
     def tasks(it):
@@ -219,7 +219,7 @@ def verify_table(spark: SparkSession, out_dir: str,
     seen_buckets: set[int] = set()
     cells = 0
     for r in rows:
-        bucket = int(pat.search(r["path"]).group(1))
+        bucket = bucket_id_of_path(r["path"])
         seen_buckets.add(bucket)
         cells += r["n_cells"]
         for b in json.loads(r["bad_json"]):
@@ -270,12 +270,25 @@ def repair_buckets(spark: SparkSession, df, cfg, buckets: "list[int]"):
     for b in sorted(bad):
         _rm_tree(spark, f"{blocks_path}/bucket={b}")
     # rewrite lineage files minus the victims (per-file pyarrow — tolerates
-    # mixed-width legacy files the same way completed_buckets does)
+    # mixed-width legacy files the same way completed_buckets does).
+    # Write-then-replace, never in place: a crash mid-overwrite of the
+    # shared lineage file would corrupt the checkpoint rows of every
+    # HEALTHY bucket too (the same reason _pa_write_dir stages through
+    # .inprogress). pyarrow FS `move` gives the remote equivalent.
     for f in _meta_files(lineage_path):
         path, fs = f if isinstance(f, tuple) else (f, None)
         tbl = pq.read_table(path, filesystem=fs)
         keep = [i for i, v in enumerate(tbl.column("bucket").to_pylist())
                 if int(v) not in bad]
-        if len(keep) < tbl.num_rows:
-            pq.write_table(tbl.take(keep), path, filesystem=fs)
+        if len(keep) == tbl.num_rows:
+            continue
+        import os
+
+        d, name = os.path.split(path)
+        tmp = f"{d}/.{name}.inprogress"
+        pq.write_table(tbl.take(keep), tmp, filesystem=fs)
+        if fs is None:
+            os.replace(tmp, path)
+        else:
+            fs.move(tmp, path)
     return encode_table(spark, df, cfg)

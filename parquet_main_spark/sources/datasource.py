@@ -532,6 +532,17 @@ class EncodedTableWriter(DataSourceArrowWriter):
             del self.logical[self.bucket_col]  # routing only, never stored
             if self.bucket_key not in self.logical:
                 raise ValueError(f"bucket_key {self.bucket_key!r} not in schema")
+            from ..functions.xxh64 import HASHABLE_KEY_TYPES
+
+            if self.logical[self.bucket_key] not in HASHABLE_KEY_TYPES:
+                # bucket_expr would compute fine JVM-side, but the task-side
+                # spot check and every read-side point-lookup prune go
+                # through the pure-Python port, which only covers the
+                # verified type matrix — fail at plan time, not per task
+                raise ValueError(
+                    f"bucket_key {self.bucket_key!r} has type "
+                    f"{self.logical[self.bucket_key]!r}; hash-bucketed "
+                    f"writes support {sorted(HASHABLE_KEY_TYPES)}")
         ob = options.get("order_by")
         self.order_by = ([c.strip() for c in ob.split(",")] if ob
                          else [next(iter(self.logical))])
@@ -630,16 +641,14 @@ class EncodedTableWriter(DataSourceArrowWriter):
                     "table/batch dir or encode_table")
 
     def _max_bucket(self) -> int:
-        import re
-
-        from ..operators.decode import _list_block_files
+        from ..operators.decode import _list_block_files, bucket_id_of_path
 
         try:
             files = _list_block_files(self.path)
         except FileNotFoundError:
             return -1
-        pat = re.compile(r"/bucket=(\d+)/")
-        ids = [int(m.group(1)) for p, _ in files if (m := pat.search(p))]
+        ids = [b for p, _ in files
+               if (b := bucket_id_of_path(p)) is not None]
         return max(ids, default=-1)
 
     def _apply_resume(self) -> None:
@@ -658,10 +667,9 @@ class EncodedTableWriter(DataSourceArrowWriter):
            offset-relative and a shifted offset would defeat a per-bucket
            comparison; in hash-bucketed mode ids are content-derived, so
            the skip is exact per bucket (self._done)."""
-        import re
         import shutil
 
-        from ..operators.decode import _list_block_files
+        from ..operators.decode import _list_block_files, bucket_id_of_path
         from ..operators.encode import _local_path, is_remote_path
 
         try:
@@ -677,15 +685,14 @@ class EncodedTableWriter(DataSourceArrowWriter):
             files = _list_block_files(self.path)
         except FileNotFoundError:
             files = []
-        pat = re.compile(r"/bucket=(\d+)/")
         remote = is_remote_path(self.path)
         if remote:
             import pyarrow.fs as pafs
 
             fs, _root = pafs.FileSystem.from_uri(self.path)
         for p, _sz in files:
-            m = pat.search(p)
-            if m is None or int(m.group(1)) in committed:
+            b = bucket_id_of_path(p)
+            if b is None or b in committed:
                 continue
             if remote:
                 import os
@@ -828,16 +835,24 @@ class EncodedTableWriter(DataSourceArrowWriter):
                         "snapshot; bucketed writes cannot rewrite history "
                         "— use a fresh table/batch dir")
                 tbl = pa.Table.from_batches(buf).drop_columns([self.bucket_col])
-                key0 = tbl.column(self.bucket_key)[0].as_py()
-                want = bucket_of(key0, key_lt, self.buckets,
-                                 self.salt, self.salt_col)
-                if cur not in want:
-                    raise ValueError(
-                        f"bucket_col says {cur} but bucket_expr"
-                        f"({self.bucket_key!r}, {self.buckets}) maps "
-                        f"{key0!r} to {sorted(want)} — was the column built "
-                        "with operators.encode.bucket_expr and the same "
-                        "options passed here?")
+                # spot-check one NON-NULL key against the pure-Python hash
+                # (xxhash64(NULL) is just the seed, which the port doesn't
+                # model; the caller's sort puts NULLs first, so an all-null
+                # or null-leading bucket is legal and skips the check)
+                keys = tbl.column(self.bucket_key)
+                key0 = None
+                for v in keys.drop_null()[:1]:
+                    key0 = v.as_py()
+                if key0 is not None:
+                    want = bucket_of(key0, key_lt, self.buckets,
+                                     self.salt, self.salt_col)
+                    if cur not in want:
+                        raise ValueError(
+                            f"bucket_col says {cur} but bucket_expr"
+                            f"({self.bucket_key!r}, {self.buckets}) maps "
+                            f"{key0!r} to {sorted(want)} — was the column "
+                            "built with operators.encode.bucket_expr and "
+                            "the same options passed here?")
                 enc = _encode_group(self.logical, self._chunk_plan(tbl),
                                     self.block_size, self.order_by, cur, tbl,
                                     self._gdicts, forced)

@@ -2148,3 +2148,117 @@ def test_overlapped_stats_failure_cancels_encode(spark, tmp_path, monkeypatch):
     blocks = f"{out}/blocks"
     assert not os.path.isdir(blocks) or not any(
         name.startswith("bucket=") for name in os.listdir(blocks))
+
+
+def test_bucketed_write_null_keys_and_type_gate(spark, tmp_path):
+    """Code-review r6: a NULL bucket-key row (legal — bucket_expr hashes
+    NULL as the seed) must not crash the task-side spot-check even when the
+    sort puts it FIRST in its bucket, and an out-of-matrix bucket_key type
+    fails at plan time with the crafted error, not per-task."""
+    from parquet_main_spark.operators.encode import bucket_expr
+    from parquet_main_spark.sources.datasource import register
+
+    register(spark)
+    B = 4
+    df = webpages(spark, 120, partitions=2).select("url", "lang", "warc_ts")
+    # null out a few urls: their rows hash to pmod(xxhash64(NULL)=42, B)
+    df = df.withColumn(
+        "url", F.when(F.col("url").endswith("0"), None)
+               .otherwise(F.col("url")))
+    n_null = df.filter("url is null").count()
+    assert n_null > 0
+    out = str(tmp_path / "nullkeys")
+    (df.withColumn("_b", bucket_expr("url", B))
+       .repartition(B, "_b").sortWithinPartitions("_b", "url")
+       .write.format("pms_encoded").mode("overwrite")
+       .option("bucket_col", "_b").option("bucket_key", "url")
+       .option("buckets", B).option("block_size", 64).save(out))
+    got = scan(spark, out)
+    assert got.count() == 120
+    assert got.filter("url is null").count() == n_null
+    # a point lookup still prunes and never loses the null rows' bucket
+    u = df.filter("url is not null").select("url").first()["url"]
+    hit = scan(spark, out, predicate=Predicate("url", "=", u)).collect()
+    assert [r["url"] for r in hit] == [u]
+
+    # timestamp bucket_key: outside HASHABLE_KEY_TYPES -> plan-time error
+    with pytest.raises(Exception, match="hash-bucketed writes support"):
+        (df.withColumn("_b", bucket_expr("warc_ts", B))
+           .repartition(B, "_b").sortWithinPartitions("_b")
+           .write.format("pms_encoded").mode("overwrite")
+           .option("bucket_col", "_b").option("bucket_key", "warc_ts")
+           .option("buckets", B).save(str(tmp_path / "bad_ts")))
+
+
+def test_lineage_cache_invalidates_on_table_change(spark, tmp_path):
+    """Code-review r6: the driver-side lineage cache must never serve
+    stale rows — an append (new content-derived lineage file) or a repair
+    (atomic in-place replace, new mtime) changes the dir fingerprint."""
+    from parquet_main_spark.operators.decode import _lineage_rows
+    from parquet_main_spark.operators.encode import (
+        EncodeConfig, encode_table,
+    )
+
+    out = str(tmp_path / "t")
+    df = webpages(spark, 200, partitions=2)
+    cfg = EncodeConfig(out_dir=out, buckets=4, block_size=64,
+                       snapshot_id="s1")
+    encode_table(spark, df.filter("length(url) % 2 = 0"), cfg)
+    first = _lineage_rows(out)
+    assert _lineage_rows(out) is first  # cache hit on unchanged dir
+    # append more rows under a new snapshot: lineage dir gains a file
+    encode_table(spark, df, EncodeConfig(
+        out_dir=out, buckets=4, block_size=64, snapshot_id="s2"))
+    second = _lineage_rows(out)
+    assert second is not first and len(second) >= len(first)
+
+
+def test_lookup_driver_fast_path(spark, encoded):
+    """lookup(): selective predicates decode driver-side with NO Spark job
+    (monkeypatched scan proves the fast path never schedules one); results
+    match the distributed scan exactly; the fallback kicks in when the
+    pruned list exceeds the bounds and returns the same rows."""
+    import pyarrow as pa
+
+    from parquet_main_spark.operators import decode as dec
+
+    out, df, _res = encoded
+    url = df.select("url").first()["url"]
+    pred = dec.Predicate("url", "=", url)
+    want = scan(spark, out, predicate=pred).toPandas().sort_index(axis=1)
+
+    real_scan = dec.scan
+    def boom(*a, **kw):
+        raise AssertionError("fast path must not schedule a scan job")
+    dec.scan = boom
+    try:
+        got = dec.lookup(spark, out, pred)
+    finally:
+        dec.scan = real_scan
+    assert isinstance(got, pa.Table)
+    gp = got.to_pandas().sort_index(axis=1)
+    pd.testing.assert_frame_equal(
+        gp.sort_values("url").reset_index(drop=True),
+        want.sort_values("url").reset_index(drop=True), check_dtype=False)
+
+    # no matching bucket at all -> empty table, right schema, still no job
+    dec.scan = boom
+    try:
+        empty = dec.lookup(spark, out, dec.Predicate("url", "=", "absent!"))
+    finally:
+        dec.scan = real_scan
+    assert empty.num_rows == 0
+    assert set(empty.schema.names) == set(df.columns)
+
+    # forced fallback (max_files=0) routes through the distributed scan
+    wide = dec.lookup(spark, out, pred, max_files=0)
+    pd.testing.assert_frame_equal(
+        wide.to_pandas().sort_index(axis=1).sort_values("url")
+            .reset_index(drop=True),
+        want.sort_values("url").reset_index(drop=True), check_dtype=False)
+
+    # a broad range predicate (no bucket candidates) with small bounds may
+    # still run driver-side — rows must equal the scan's
+    rpred = dec.Predicate("warc_ts", "notnull", None)
+    a = dec.lookup(spark, out, rpred).num_rows
+    assert a == scan(spark, out, predicate=rpred).count()
