@@ -506,12 +506,18 @@ def eng_point_lookup(spark, sf_dir):
     hash-scattered, so per-file zone maps can never prune a point on it;
     the reference's analog is row-group selection before any page IO,
     ParquetFileReader.java:709-719). At 2^16 buckets this is the difference
-    between 4 file-opens and 65k tasks."""
-    from .operators.decode import Predicate, scan
+    between 4 file-opens and 65k tasks.
+
+    r6.2: goes through ``lookup`` — the driver-side fast path that decodes
+    the (pruned, small) file list with NO Spark job at all; broad
+    predicates fall back to the distributed scan inside lookup, so the
+    semantics are scan's exactly."""
+    from .operators.decode import Predicate, lookup
 
     out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
-    return scan(spark, out, columns=["doc_id", "lang", "source", "n_chars"],
-                predicate=Predicate("doc_id", "isin", [7, 123, 321, 400]))
+    tbl = lookup(spark, out, Predicate("doc_id", "isin", [7, 123, 321, 400]),
+                 columns=["doc_id", "lang", "source", "n_chars"])
+    return spark.createDataFrame(tbl)
 
 
 ENG_POINT_SQL = """
