@@ -1207,7 +1207,7 @@ def scan(
 
 def lookup(
     spark: SparkSession,
-    out_dir: str,
+    out_dir: "str | list[str]",
     predicate: "Predicate | And | Or | Not | list",
     columns: list[str] | None = None,
     max_bytes: int = 64 << 20,
@@ -1227,28 +1227,49 @@ def lookup(
     the pruned file list is still large — ``max_bytes`` bounds driver
     memory/IO, ``max_files`` bounds footer round-trips — so callers can use
     it for ANY predicate without a scale trap: selective ones stay on the
-    driver, broad ones run as jobs. Row order is not defined."""
-    meta = read_meta(spark, out_dir)
-    logical: dict[str, str] = meta["logical"]
+    driver, broad ones run as jobs. Row order is not defined.
+
+    ``out_dir`` may be a LIST of directories (a streaming table's batch
+    dirs — the scan_many analog): each dir prunes independently, the
+    bounds apply to the union, and a too-broad union falls back to ONE
+    distributed scan_many job, never a per-dir job loop."""
     from .encode import gdicts_from_json
 
+    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
+    if not dirs:
+        raise ValueError("lookup needs at least one directory")
+    metas = [read_meta(spark, d) for d in dirs]
+    logical: dict[str, str] = metas[0]["logical"]
+    for d, m in zip(dirs[1:], metas[1:]):
+        if m["logical"] != logical:
+            raise ValueError(f"schema mismatch: {d} has {m['logical']}, "
+                             f"{dirs[0]} has {logical}")
     raw = _as_expr(predicate)
     if raw is None:
         raise ValueError("lookup needs a predicate; use scan for full reads")
     expr = _normalize_expr(raw, logical)
     if columns is None:
         columns = list(logical)
-    files = _prune_files_by_bucket(_list_block_files(out_dir, spark),
-                                   _bucket_candidates(raw, meta))
-    files = _prune_files_by_lineage(files, out_dir, expr, logical)
+    per_dir: list[list] = []
+    for d, m in zip(dirs, metas):
+        files = _prune_files_by_bucket(_list_block_files(d, spark),
+                                       _bucket_candidates(raw, m))
+        per_dir.append(_prune_files_by_lineage(files, d, expr, logical))
     schema = pa.schema([(c, _pa_type(logical[c])) for c in columns])
-    if not files:
+    n_files = sum(len(f) for f in per_dir)
+    if n_files == 0:
         return schema.empty_table()
-    if len(files) > max_files or sum(s for _, s in files) > max_bytes:
-        return scan(spark, out_dir, list(columns), predicate).toArrow()
-    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-    batches = [b for path, _ in files
-               for b in _decode_file(path, logical, list(columns), expr, gdicts)]
+    if (n_files > max_files
+            or sum(s for f in per_dir for _, s in f) > max_bytes):
+        if len(dirs) == 1:
+            return scan(spark, dirs[0], list(columns), predicate).toArrow()
+        return scan_many(spark, dirs, list(columns), predicate).toArrow()
+    batches = []
+    for m, files in zip(metas, per_dir):
+        gdicts = gdicts_from_json(m.get("gdicts", {}), logical)
+        batches.extend(
+            b for path, _ in files
+            for b in _decode_file(path, logical, list(columns), expr, gdicts))
     if not batches:
         return schema.empty_table()
     return pa.Table.from_batches(batches).cast(schema)

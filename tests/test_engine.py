@@ -2262,3 +2262,32 @@ def test_lookup_driver_fast_path(spark, encoded):
     rpred = dec.Predicate("warc_ts", "notnull", None)
     a = dec.lookup(spark, out, rpred).num_rows
     assert a == scan(spark, out, predicate=rpred).count()
+
+
+def test_lookup_many_batch_dirs(spark, tmp_path):
+    """lookup() over a LIST of batch dirs (streaming layout): per-dir
+    pruning, one concatenated driver-side result equal to scan_many; the
+    broad fallback routes through ONE scan_many job."""
+    from parquet_main_spark.operators.decode import (
+        Predicate, lookup, scan_many,
+    )
+    from parquet_main_spark.operators.encode import (
+        EncodeConfig, encode_table,
+    )
+
+    df = webpages(spark, 400, partitions=4)
+    dirs = []
+    for i, cond in enumerate(("length(url) % 2 = 0", "length(url) % 2 = 1")):
+        d = str(tmp_path / f"batch={i}")
+        encode_table(spark, df.filter(cond), EncodeConfig(
+            out_dir=d, buckets=4, block_size=64, snapshot_id=f"b{i}"))
+        dirs.append(d)
+    u = df.select("url").first()["url"]
+    t = lookup(spark, dirs, Predicate("url", "=", u))
+    assert t.num_rows == 1 and t.column("url").to_pylist() == [u]
+    # broad predicate exceeding max_files -> scan_many fallback, same rows
+    broad = lookup(spark, dirs, Predicate("url", "notnull", None), max_files=1)
+    assert broad.num_rows == 400
+    assert (sorted(broad.column("url").to_pylist())
+            == sorted(r["url"] for r in
+                      scan_many(spark, dirs, columns=["url"]).collect()))
