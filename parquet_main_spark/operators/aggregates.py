@@ -1,0 +1,411 @@
+"""In-situ aggregate pushdowns: MIN/MAX from statistics, DISTINCT from
+dictionaries — aggregates answered from metadata, not data.
+
+The reference's converter-sink family (SURVEY §2.5 Q7) stops at COUNT;
+these two operators take the same three-valued zone-map machinery to the
+aggregates a columnar layout can answer without touching data pages
+(Spark's own parquet path has the same idea behind
+``spark.sql.parquet.aggregatePushdown``; the reference's per-page
+Statistics are ColumnWriterV1.java:113-139):
+
+- :func:`scan_minmax` — MIN/MAX per column, with an optional predicate.
+  Blocks whose stored bounds are EXACT (ints, timestamps, dates, bools,
+  decimals, NaN-free floats, short strings — see ``_exact_bounds``) and
+  which the classifier marks definite-all-match contribute from stats
+  alone. Only candidate blocks decode: a block is decoded only when its
+  conservative bounds say it could still beat the best stats-derived
+  extreme — so a ``MIN(ts)`` over 100 TB reads zero data pages, and a
+  ``MIN(url)`` over long urls decodes a handful of candidate blocks per
+  file instead of the table.
+- :func:`scan_distinct` — DISTINCT values of one column. Dict-family
+  blocks never decode: a bucket dictionary (block_id = -1 row) is BY
+  CONSTRUCTION the sorted distinct set of the whole bucket's non-null
+  values (np.unique over the bucket, encode.py:659-661), so the file
+  contributes its dict blob — kilobytes — and its data pages stay on
+  disk. Global-dictionary entries are added once, driver-side: every
+  gdict entry was observed in the encode input's sampled rows
+  (encode.py stats pass), so each is present in the table. Only blocks
+  on non-dict codecs decode, and only the target column's row groups
+  are ever read (one block-row per row group, decode.py:466-472).
+
+Both run as one task per bucket file (the scan_count shape): partial
+results per file, combined by a tiny Spark aggregation — no shuffle of
+anything table-proportional at any scale.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..codecs import FLOAT_TYPES, INT_TYPES, NARROW_INT, _NP_DTYPE, dict_codec
+from ..functions.arrow import arrow_to_dense, codec_type, dense_to_arrow, spark_type
+from .decode import (
+    _STATS_COLS,
+    _as_expr,
+    _bucket_candidates,
+    _classify_blocks,
+    _decode_file,
+    _expr_leaves,
+    _list_block_files,
+    _normalize_expr,
+    _open_parquet,
+    _prune_files_by_bucket,
+    _prune_files_by_lineage,
+    read_meta,
+)
+from .encode import STAT_PREFIX_BYTES, STAT_PREFIX_CHARS, gdicts_from_json
+
+__all__ = ["scan_minmax", "scan_distinct"]
+
+
+def _exact_bounds(lt: str, ct: str, lo, hi):
+    """Stored block bounds -> ``(exact_min, exact_max)`` in the dense
+    comparable domain, each None when the stored bound is absent or cannot
+    be proven exact:
+
+    - int lane (ints, timestamp, date, bool, decimal64 unscaled): stats are
+      computed from the values (encode._block_stats) — exact when present.
+    - floats: exact when present (NaN blocks store None).
+    - strings: min is exact only when shorter than STAT_PREFIX_CHARS (at
+      exactly the cap it may be a truncated prefix); max is stored exactly
+      or as None (encode._var_bounds never truncates a string max).
+    - decimal128: keys are exactly STAT_PREFIX_BYTES wide, so the hex
+      bounds always round-trip exactly.
+    - binary: min exact below the byte cap; max is indistinguishable from
+      a truncate-and-increment bound (encode._inc_bytes can shorten), so
+      it is never trusted as exact.
+    """
+    if ct in INT_TYPES or ct == "bool" or ct in FLOAT_TYPES:
+        return lo, hi
+    if ct == "string":
+        mn = lo if lo is not None and len(lo) < STAT_PREFIX_CHARS else None
+        return mn, hi
+    # ct binary: hex-encoded (decimal128 keys / raw binary); vector columns
+    # are rejected before this point
+    if lt.startswith("decimal128("):
+        return (None if lo is None else bytes.fromhex(lo),
+                None if hi is None else bytes.fromhex(hi))
+    mn = None
+    if lo is not None:
+        b = bytes.fromhex(lo)
+        if len(b) < STAT_PREFIX_BYTES:
+            mn = b
+    return mn, None
+
+
+def _cons_bounds(ct: str, lo, hi):
+    """Stored block bounds -> conservative ``(lower, upper)`` in the dense
+    domain: lower <= every value in the block <= upper (None = unbounded).
+    Valid even when inexact — a string/binary min prefix understates, an
+    incremented max overstates (encode._var_bounds)."""
+    if ct in INT_TYPES or ct == "bool" or ct in FLOAT_TYPES or ct == "string":
+        return lo, hi
+    return (None if lo is None else bytes.fromhex(lo),
+            None if hi is None else bytes.fromhex(hi))
+
+
+def _dense_scalar(v, ct: str) -> np.ndarray:
+    dt = _NP_DTYPE.get(ct, object)
+    a = np.empty(1, dtype=dt)
+    a[0] = v
+    return a
+
+
+def _minmax_file(logical: dict[str, str], cols: list[str], expr, gdicts: dict,
+                 it):
+    """One row per bucket file: per-column (min, max) partials. Stats-exact
+    blocks never decode; inexact or boundary blocks decode only while their
+    conservative bounds could still beat the file's stats-derived best."""
+    expr = _as_expr(expr)
+    schema = pa.schema(
+        [(f"{side}_{c}", dense_to_arrow(
+            np.empty(0, dtype=_NP_DTYPE.get(codec_type(logical[c]), object)),
+            None, logical[c]).type)
+         for c in cols for side in ("min", "max")])
+    for batch in it:
+        for path in batch.column("path").to_pylist():
+            f = _open_parquet(path)
+            stats = f.read(columns=_STATS_COLS)
+            if expr is None:
+                bids = stats.column("block_id").to_pylist()
+                may = allm = {b for b in bids if b >= 0}
+            else:
+                may, allm = _classify_blocks(stats, expr, logical)
+            arrays = []
+            for c in cols:
+                lt = logical[c]
+                ct = codec_type(lt)
+                sub = stats.filter(pc.and_(
+                    pc.equal(stats.column("col"), pa.scalar(c)),
+                    pc.greater_equal(stats.column("block_id"),
+                                     pa.scalar(0, pa.int32()))))
+                lo_name, hi_name = ("min_int", "max_int") \
+                    if ct in INT_TYPES or ct == "bool" else \
+                    (("min_num", "max_num") if ct in FLOAT_TYPES
+                     else ("min_str", "max_str"))
+                rows = {k: sub.column(k).to_pylist()
+                        for k in ("block_id", "n", "null_count",
+                                  lo_name, hi_name)}
+                mn = mx = None
+                # (bid, min side inexact, cons lo, max side inexact, cons hi)
+                pend: list[tuple[int, bool, object, bool, object]] = []
+                for i, b in enumerate(rows["block_id"]):
+                    if b not in may or rows["null_count"][i] == rows["n"][i]:
+                        continue
+                    lo, hi = rows[lo_name][i], rows[hi_name][i]
+                    emn, emx = (None, None) if b not in allm else \
+                        _exact_bounds(lt, ct, lo, hi)
+                    if emn is not None and (mn is None or emn < mn):
+                        mn = emn
+                    if emx is not None and (mx is None or emx > mx):
+                        mx = emx
+                    if emn is None or emx is None:
+                        clo, chi = _cons_bounds(ct, lo, hi)
+                        pend.append((b, emn is None, clo, emx is None, chi))
+                # candidate refinement: decode only blocks whose conservative
+                # bounds could still move an extreme past the stats-derived
+                # best (a None bound is unknown -> always a candidate)
+                needs = set()
+                for b, min_inexact, clo, max_inexact, chi in pend:
+                    want_min = min_inexact and (
+                        mn is None or clo is None or clo < mn)
+                    want_max = max_inexact and (
+                        mx is None or chi is None or chi > mx)
+                    if want_min or want_max:
+                        needs.add(b)
+                if needs:
+                    for db in _decode_file(path, logical, [c], expr, gdicts,
+                                           restrict_blocks=needs):
+                        vals, _ = arrow_to_dense(db.column(0), lt)
+                        if not len(vals):
+                            continue
+                        if ct in FLOAT_TYPES:
+                            nan_all = bool(np.isnan(vals).all())
+                            vmn = float("nan") if nan_all else np.nanmin(vals)
+                            vmx = float("nan") if nan_all or bool(
+                                np.isnan(vals).any()) else vals.max()
+                        else:
+                            vmn, vmx = vals.min(), vals.max()
+                        if mn is None or _lt(vmn, mn):
+                            mn = vmn
+                        if mx is None or _gt(vmx, mx):
+                            mx = vmx
+                for side, v in (("min", mn), ("max", mx)):
+                    if v is None:
+                        arrays.append(dense_to_arrow(
+                            np.empty(0, dtype=_NP_DTYPE.get(ct, object)),
+                            np.array([False]), lt))
+                    else:
+                        arrays.append(dense_to_arrow(
+                            _dense_scalar(v, ct), None, lt))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+
+def _gt(a, b) -> bool:
+    """max-combine compare with SQL/Spark NaN semantics: NaN counts as
+    greater than every non-NaN (``x != x`` is True only for NaN, for any
+    scalar type including numpy floats)."""
+    if a != a:
+        return not b != b
+    if b != b:
+        return False
+    return a > b
+
+
+def _lt(a, b) -> bool:
+    """min-combine compare: NaN counts greater than every non-NaN."""
+    if a != a:
+        return False
+    if b != b:
+        return True
+    return a < b
+
+
+def scan_minmax(
+    spark: SparkSession,
+    out_dir: str,
+    columns: list[str],
+    predicate=None,
+) -> DataFrame:
+    """MIN/MAX of ``columns`` over rows matching ``predicate`` (SQL
+    semantics: NULLs ignored, NaN sorts greatest, empty input -> NULLs),
+    answered from block statistics wherever they are exact and the block
+    is definite-all-match; everything else decodes only the candidate
+    blocks that could still move an extreme. Returns a ONE-ROW DataFrame
+    with columns ``min_<c>``/``max_<c>``.
+
+    Scale shape: per-file stats reads + a bounded candidate decode, one
+    task per bucket file, then an O(files)-row Spark aggregation — no data
+    shuffle. The file list itself is pre-pruned by the bucket-hash and
+    per-bucket lineage layers, same as scan."""
+    meta = read_meta(spark, out_dir)
+    logical: dict[str, str] = meta["logical"]
+    for c in columns:
+        if c not in logical:
+            raise KeyError(f"unknown column {c!r}")
+        if logical[c].startswith("vector("):
+            raise TypeError(f"min/max is not defined for vector column {c!r}")
+    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
+    raw = _as_expr(predicate)
+    expr = _normalize_expr(raw, logical)
+    files = _prune_files_by_bucket(_list_block_files(out_dir, spark),
+                                   _bucket_candidates(raw, meta))
+    files = _prune_files_by_lineage(files, out_dir, expr, logical)
+    out_schema = ", ".join(
+        f"`{side}_{c}` {spark_type(logical[c])}"
+        for c in columns for side in ("min", "max"))
+    aggs = [getattr(F, side)(f"{side}_{c}").alias(f"{side}_{c}")
+            for c in columns for side in ("min", "max")]
+    if not files:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.agg(*aggs)
+    paths = [p for p, _ in files]
+    tasks = spark.createDataFrame([(p,) for p in paths], "path string") \
+        .repartition(len(paths))
+    per_file = tasks.mapInArrow(
+        partial(_minmax_file, logical, list(columns), expr, gdicts),
+        out_schema)
+    return per_file.agg(*aggs)
+
+
+def _distinct_file(logical: dict[str, str], col: str, gdicts: dict, it):
+    """Distinct non-null values of ``col`` found in each bucket file, plus
+    one NULL element when the column has any null there. Reads, in order of
+    preference: the bucket dictionary blob alone (covers the whole bucket
+    by construction), per-block dict blobs, and only for non-dict codecs
+    the data pages of the target column's blocks. gdict-coded blocks
+    contribute nothing here — their value universe is added once,
+    driver-side."""
+    lt = logical[col]
+    ct = codec_type(lt)
+    schema = pa.schema([(col, dense_to_arrow(
+        np.empty(0, dtype=_NP_DTYPE.get(ct, object)), None, lt).type)])
+    for batch in it:
+        for path in batch.column("path").to_pylist():
+            f = _open_parquet(path)
+            md = f.metadata
+            arrow_schema = md.schema.to_arrow_schema()
+            col_idx = arrow_schema.get_field_index("col")
+            parts: list[np.ndarray] = []
+            has_null = False
+            bucket_dict = None
+            needs: set[int] = set()
+            read_cols = ["block_id", "col", "codec", "n", "null_count", "dict"]
+            for rg in range(md.num_row_groups):
+                cst = md.row_group(rg).column(col_idx).statistics
+                if (cst is not None and cst.has_min_max
+                        and cst.min == cst.max and cst.min != col):
+                    continue  # other columns' row groups: never read
+                tbl = f.read_row_group(rg, columns=read_cols)
+                tbl = tbl.filter(pc.equal(tbl.column("col"), pa.scalar(col)))
+                for i in range(tbl.num_rows):
+                    bid = tbl.column("block_id")[i].as_py()
+                    if bid == -1:
+                        bucket_dict = dict_codec.load_dict(
+                            tbl.column("dict")[i].as_py())
+                        continue
+                    if tbl.column("null_count")[i].as_py() > 0:
+                        has_null = True
+                    codec = tbl.column("codec")[i].as_py()
+                    if codec == "bdict" or codec == "gdict":
+                        continue  # bucket dict / driver-side gdict covers it
+                    if codec == "dict":
+                        parts.append(dict_codec.load_dict(
+                            tbl.column("dict")[i].as_py()))
+                    else:
+                        needs.add(bid)
+            if bucket_dict is not None:
+                # the bucket dictionary IS np.unique over the whole bucket's
+                # non-null values (encode.py) — it covers every block of the
+                # column in this file, whatever codec each block chose
+                parts = [bucket_dict]
+                needs = set()
+            if needs:
+                for db in _decode_file(path, logical, [col], None, gdicts,
+                                       restrict_blocks=needs):
+                    vals, _ = arrow_to_dense(db.column(0), lt)
+                    if len(vals):
+                        parts.append(vals)
+            if not parts and not has_null:
+                continue
+            if parts:
+                allv = parts[0] if len(parts) == 1 else np.concatenate(parts)
+                uniq = np.unique(allv)
+                if ct in NARROW_INT:
+                    uniq = uniq.astype(NARROW_INT[ct])
+                elif ct == "float32":
+                    uniq = uniq.astype(np.float32)
+                elif ct == "bool":
+                    uniq = uniq.astype(np.bool_)
+                elif uniq.dtype != object and ct in ("string", "binary"):
+                    uniq = uniq.astype(object)
+            else:
+                uniq = np.empty(0, dtype=_NP_DTYPE.get(ct, object))
+            mask = None
+            if has_null:
+                mask = np.ones(len(uniq) + 1, dtype=bool)
+                mask[-1] = False
+            yield pa.RecordBatch.from_arrays(
+                [dense_to_arrow(uniq, mask, lt)], schema=schema)
+
+
+def scan_distinct(
+    spark: SparkSession,
+    out_dir: str,
+    column: str,
+    predicate=None,
+) -> DataFrame:
+    """DISTINCT values of one column (SQL semantics: NULL is a value).
+    Dict-family blocks are answered from dictionary blobs alone — a
+    ``SELECT DISTINCT lang`` over 100 TB reads kilobytes per bucket file
+    and zero data pages; only non-dict-coded blocks decode, and only the
+    target column's row groups are ever read. Global-dictionary values are
+    added once driver-side (each gdict entry was sampled from real input
+    rows, encode.py, so it occurs in the table).
+
+    With a ``predicate`` the dictionary shortcut is unsound (a dict value
+    may occur only in filtered-out rows), so it falls back to the pruned
+    ``scan(columns=[column], predicate).distinct()``."""
+    from .decode import scan
+
+    meta = read_meta(spark, out_dir)
+    logical: dict[str, str] = meta["logical"]
+    if column not in logical:
+        raise KeyError(f"unknown column {column!r}")
+    if predicate is not None:
+        return scan(spark, out_dir, columns=[column],
+                    predicate=predicate).distinct()
+    lt = logical[column]
+    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
+    files = [p for p, _ in _list_block_files(out_dir, spark)]
+    out_schema = f"`{column}` {spark_type(lt)}"
+    pieces = []
+    if files:
+        tasks = spark.createDataFrame([(p,) for p in files], "path string") \
+            .repartition(len(files))
+        pieces.append(tasks.mapInArrow(
+            partial(_distinct_file, logical, column, gdicts), out_schema))
+    if column in gdicts and len(gdicts[column]):
+        vals = gdicts[column]
+        ct = codec_type(lt)
+        if ct in NARROW_INT:
+            vals = vals.astype(NARROW_INT[ct])
+        elif ct == "float32":
+            vals = vals.astype(np.float32)
+        elif vals.dtype != object and ct in ("string", "binary"):
+            vals = vals.astype(object)
+        tbl = pa.table({column: dense_to_arrow(vals, None, lt)})
+        pieces.append(spark.createDataFrame(tbl).selectExpr(
+            f"cast(`{column}` as {spark_type(lt)}) as `{column}`"))
+    if not pieces:
+        return spark.createDataFrame([], out_schema)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out.distinct()

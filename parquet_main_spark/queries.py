@@ -570,6 +570,46 @@ SELECT (SELECT count(*) FROM documents WHERE n_chars BETWEEN 100 AND 900) AS n_m
 """
 
 
+def eng_agg_pushdown(spark, sf_dir):
+    """MIN/MAX + DISTINCT answered from metadata (r6): scan_minmax reads
+    block statistics and decodes only candidate blocks whose conservative
+    bounds could still move an extreme (ints are stats-exact; the long
+    ``text`` strings exercise the truncated-bound candidate path);
+    scan_distinct answers from dictionary blobs alone for the dict-planned
+    ``lang`` — SELECT DISTINCT over 100 TB as kilobytes of dict pages per
+    bucket file. The converter-sink/statistics machinery is the reference's
+    Q7 + C6 line (ColumnWriterV1.java:113-139) taken to the aggregates a
+    columnar layout can answer without data pages."""
+    from .operators.aggregates import scan_distinct, scan_minmax
+    from .operators.decode import Predicate
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    mm = scan_minmax(spark, out, ["doc_id", "n_chars", "source", "text"],
+                     predicate=Predicate("lang", "=", "en"))
+    dl = scan_distinct(spark, out, "lang").agg(
+        F.count("lang").alias("n_langs"),
+        F.min("lang").alias("min_lang"),
+        F.max("lang").alias("max_lang"),
+    )
+    return mm.crossJoin(dl)
+
+
+ENG_AGG_SQL = """
+SELECT
+  (SELECT min(doc_id)  FROM documents WHERE lang = 'en') AS min_doc_id,
+  (SELECT max(doc_id)  FROM documents WHERE lang = 'en') AS max_doc_id,
+  (SELECT min(n_chars) FROM documents WHERE lang = 'en') AS min_n_chars,
+  (SELECT max(n_chars) FROM documents WHERE lang = 'en') AS max_n_chars,
+  (SELECT min(source)  FROM documents WHERE lang = 'en') AS min_source,
+  (SELECT max(source)  FROM documents WHERE lang = 'en') AS max_source,
+  (SELECT min(text)    FROM documents WHERE lang = 'en') AS min_text,
+  (SELECT max(text)    FROM documents WHERE lang = 'en') AS max_text,
+  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+  (SELECT min(lang) FROM documents) AS min_lang,
+  (SELECT max(lang) FROM documents) AS max_lang
+"""
+
+
 def _codec_forced_docs(spark, sf_dir) -> str:
     """One encoded copy of documents with four codecs PINNED via
     plan_override (strict: no fallback) — the driver-gated proof that each
@@ -2005,6 +2045,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_point_lookup": eng_point_lookup,
     "eng_startswith_filter": eng_startswith_filter,
     "eng_count_pushdown": eng_count_pushdown,
+    "eng_agg_pushdown": eng_agg_pushdown,
     "eng_codec_for": eng_codec_for,
     "eng_codec_prefix": eng_codec_prefix,
     "eng_codec_plain": eng_codec_plain,
@@ -2029,7 +2070,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ops_simhash": ops_simhash,
     "ops_cosine_topk": ops_cosine_topk,
     "ops_neardup_embeddings": ops_neardup_embeddings,
-    "ops_ann_lsh_buckets": ops_ann_lsh_buckets,
     "ops_ann_lsh_topk": ops_ann_lsh_topk,
     "ops_curation_pipeline": ops_curation_pipeline,
     "ops_ivf_clusters": ops_ivf_clusters,
@@ -2058,6 +2098,7 @@ ORACLES: dict[str, str] = {
     "eng_point_lookup": ENG_POINT_SQL,
     "eng_startswith_filter": ENG_STARTSWITH_SQL,
     "eng_count_pushdown": ENG_COUNT_SQL,
+    "eng_agg_pushdown": ENG_AGG_SQL,
     "eng_codec_for": ENG_FOR_SQL,
     "eng_codec_prefix": ENG_PREFIX_SQL,
     "eng_codec_plain": ENG_PLAIN_SQL,
@@ -2082,7 +2123,6 @@ ORACLES: dict[str, str] = {
     "ops_simhash": OPS_SIMHASH_SQL,
     "ops_cosine_topk": OPS_COSINE_SQL,
     "ops_neardup_embeddings": OPS_NEARDUP_SQL,
-    "ops_ann_lsh_buckets": OPS_ANN_LSH_SQL,
     "ops_ann_lsh_topk": OPS_ANN_TOPK_SQL,
     "ops_curation_pipeline": OPS_CURATION_SQL,
     "ops_ivf_clusters": OPS_IVF_CLUSTERS_SQL,
@@ -2103,6 +2143,10 @@ BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_or_filter": eng_or_filter,
     # r6: audio pipeline — oracled locally; registry is at the 50-row cap
     "ops_audio_meta": ops_audio_meta,
+    # r6.2: slot went to eng_agg_pushdown; the LSH bucket histogram stays
+    # benched + locally oracled (ops_ann_lsh_topk exercises the same
+    # bucketing in the registry)
+    "ops_ann_lsh_buckets": ops_ann_lsh_buckets,
 }
 
 BENCH_ONLY_ORACLES: dict[str, str] = {
@@ -2110,4 +2154,5 @@ BENCH_ONLY_ORACLES: dict[str, str] = {
     "q_union_key_space": Q_UNION_SQL,
     "eng_or_filter": ENG_OR_SQL,
     "ops_audio_meta": OPS_AUDIO_SQL,
+    "ops_ann_lsh_buckets": OPS_ANN_LSH_SQL,
 }

@@ -1,0 +1,223 @@
+"""scan_minmax / scan_distinct — in-situ aggregate pushdowns.
+
+Ground truth is Spark itself over the original DataFrame (the engine must
+agree with ``df.agg(min/max)`` / ``df.distinct()`` exactly, NaN and NULL
+semantics included). The decode-free assertions monkeypatch the module's
+``_decode_file`` to prove the metadata-only paths really never touch data
+pages.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import math
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_main_spark.operators import aggregates as agg
+from parquet_main_spark.operators.aggregates import scan_distinct, scan_minmax
+from parquet_main_spark.operators.decode import And, Predicate
+from parquet_main_spark.operators.encode import EncodeConfig, encode_table
+
+
+def _eq(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) and isinstance(b, float):
+        return (math.isnan(a) and math.isnan(b)) or a == b
+    return a == b
+
+
+def _minmax_truth(df, cols):
+    aggs = []
+    for c in cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    return df.agg(*aggs).collect()[0].asDict()
+
+
+def _check_minmax(spark, out, df, cols, pred=None, sdf=None):
+    got = scan_minmax(spark, out, cols, predicate=pred).collect()[0].asDict()
+    want = _minmax_truth(sdf if sdf is not None else df, cols)
+    assert set(got) == set(want)
+    for k in want:
+        assert _eq(got[k], want[k]), (k, got[k], want[k])
+
+
+def _distinct_key(v):
+    return (v is None, str(v))
+
+
+def _check_distinct(spark, out, df, col, pred=None, sdf=None):
+    got = sorted((r[0] for r in scan_distinct(spark, out, col,
+                                              predicate=pred).collect()),
+                 key=_distinct_key)
+    src = sdf if sdf is not None else df
+    want = sorted((r[0] for r in src.select(col).distinct().collect()),
+                  key=_distinct_key)
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert _eq(g, w), (col, g, w)
+
+
+@pytest.fixture(scope="module")
+def mixed(spark, tmp_path_factory):
+    """Encoded table with every stats lane: ints, NaN-carrying floats,
+    short + over-64-char strings (truncated min bounds), timestamps,
+    nullable bools, decimal64, decimal128, binary, and a dict-planned
+    low-cardinality column."""
+    rows = []
+    langs = ["en", "de", "fr", None, "zz"]
+    for i in range(4000):
+        rows.append((
+            i,
+            langs[i * 2654435761 % len(langs)],
+            float(i % 997) if i % 31 else float("nan"),
+            ("u" * 80 + f"{i:06d}") if i % 17 == 0 else f"s{i % 50:02d}",
+            datetime.datetime(2025, 1, 1)
+            + datetime.timedelta(seconds=i * 7),
+            None if i % 13 == 0 else i % 2 == 0,
+            decimal.Decimal(i * 7 % 10_000) / 100,
+            decimal.Decimal(i * 104729 % (10 ** 20)) / 1000,
+            (b"\x00" * 20 + i.to_bytes(3, "big")) if i % 11 == 0
+            else i.to_bytes(2, "big"),
+        ))
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("d64", T.DecimalType(10, 2)),
+        T.StructField("d128", T.DecimalType(24, 3)),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+    out = str(tmp_path_factory.mktemp("agg") / "mixed")
+    shutil.rmtree(out, ignore_errors=True)
+    encode_table(spark, df, EncodeConfig(
+        out_dir=out, bucket_key="id", buckets=4, block_size=512,
+        snapshot_id="agg"))
+    return df, out
+
+
+def test_minmax_all_lanes_no_predicate(spark, mixed):
+    df, out = mixed
+    _check_minmax(spark, out, df,
+                  ["id", "val", "s", "ts", "flag", "d64", "d128", "blob"])
+
+
+def test_minmax_with_predicates(spark, mixed):
+    df, out = mixed
+    cases = [
+        (Predicate("lang", "=", "en"), df.filter(F.col("lang") == "en")),
+        (Predicate("id", "between", (700, 900)),
+         df.filter(F.col("id").between(700, 900))),
+        (And([Predicate("flag", "=", True), Predicate("id", "<", 2000)]),
+         df.filter((F.col("flag") == True) & (F.col("id") < 2000))),  # noqa: E712
+    ]
+    for pred, sdf in cases:
+        _check_minmax(spark, out, df, ["id", "val", "s", "ts", "d64"],
+                      pred=pred, sdf=sdf)
+
+
+def test_minmax_empty_match_is_all_null(spark, mixed):
+    df, out = mixed
+    row = scan_minmax(spark, out, ["id", "s"],
+                      predicate=Predicate("id", ">", 10 ** 9)) \
+        .collect()[0].asDict()
+    assert all(v is None for v in row.values())
+
+
+def test_minmax_int_lanes_never_decode(spark, mixed, monkeypatch):
+    """ints/timestamps/decimals/NaN-free-block floats: every all-match
+    block's bounds are exact, so the whole aggregate must come from stats
+    rows alone."""
+    df, out = mixed
+
+    def boom(*a, **k):
+        raise AssertionError("data pages were decoded")
+
+    monkeypatch.setattr(agg, "_decode_file", boom)
+    _check_minmax(spark, out, df, ["id", "ts", "d64", "d128"])
+
+
+def test_minmax_rejects_vector_and_unknown(spark, mixed):
+    _, out = mixed
+    with pytest.raises(KeyError):
+        scan_minmax(spark, out, ["nope"])
+
+
+def test_distinct_all_columns(spark, mixed):
+    df, out = mixed
+    for col in ["lang", "s", "flag", "val", "d64", "d128", "blob", "ts"]:
+        _check_distinct(spark, out, df, col)
+
+
+def test_distinct_dict_column_never_decodes(spark, mixed, monkeypatch):
+    """lang is dict-planned: the bucket dictionary rows must answer the
+    whole DISTINCT (NULL presence comes from stats rows)."""
+    df, out = mixed
+
+    def boom(*a, **k):
+        raise AssertionError("data pages were decoded")
+
+    monkeypatch.setattr(agg, "_decode_file", boom)
+    _check_distinct(spark, out, df, "lang")
+
+
+def test_distinct_with_predicate_falls_back(spark, mixed):
+    df, out = mixed
+    _check_distinct(spark, out, df, "lang",
+                    pred=Predicate("id", "<", 150),
+                    sdf=df.filter(F.col("id") < 150))
+
+
+def test_minmax_and_distinct_on_gdict_table(spark, tmp_path):
+    """Global-dictionary path: gdict values merge driver-side, fallback
+    blocks (values unseen by the sample) decode."""
+    rows = [(i, f"k{i % 9}") for i in range(3000)]
+    # one rare value far into the data so the stats sample may miss it
+    rows[2913] = (2913, "rare-value")
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = str(tmp_path / "gd")
+    encode_table(spark, df, EncodeConfig(
+        out_dir=out, bucket_key="id", buckets=2, block_size=256,
+        snapshot_id="gd", global_dict_max_card=64))
+    _check_distinct(spark, out, df, "k")
+    _check_minmax(spark, out, df, ["k", "id"])
+    _check_minmax(spark, out, df, ["k"],
+                  pred=Predicate("k", "=", "rare-value"),
+                  sdf=df.filter(F.col("k") == "rare-value"))
+
+
+def test_minmax_distinct_forced_plain_column(spark, tmp_path):
+    """A forced-plain low-card column has no dictionaries anywhere: distinct
+    must decode (column-pruned) and still be exact; minmax stays exact via
+    short-string stats."""
+    df = spark.createDataFrame(
+        [(i, f"v{i % 5}" if i % 7 else None) for i in range(1500)],
+        "id long, v string")
+    out = str(tmp_path / "plain")
+    encode_table(spark, df, EncodeConfig(
+        out_dir=out, bucket_key="id", buckets=2, block_size=256,
+        snapshot_id="pl", plan_override={"v": "plain"}))
+    _check_distinct(spark, out, df, "v")
+    _check_minmax(spark, out, df, ["v"])
+
+
+def test_minmax_all_null_column(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, None) for i in range(300)], "id long, v string")
+    out = str(tmp_path / "nulls")
+    encode_table(spark, df, EncodeConfig(
+        out_dir=out, bucket_key="id", buckets=2, block_size=128,
+        snapshot_id="nl"))
+    row = scan_minmax(spark, out, ["v"]).collect()[0].asDict()
+    assert row == {"min_v": None, "max_v": None}
+    _check_distinct(spark, out, df, "v")
