@@ -21,7 +21,7 @@ from pyspark.sql import types as T
 
 from parquet_main_spark.operators import aggregates as agg
 from parquet_main_spark.operators.aggregates import scan_distinct, scan_minmax
-from parquet_main_spark.operators.decode import And, Predicate
+from parquet_main_spark.operators.decode import And, Not, Or, Predicate
 from parquet_main_spark.operators.encode import EncodeConfig, encode_table
 
 
@@ -221,3 +221,134 @@ def test_minmax_all_null_column(spark, tmp_path):
     row = scan_minmax(spark, out, ["v"]).collect()[0].asDict()
     assert row == {"min_v": None, "max_v": None}
     _check_distinct(spark, out, df, "v")
+
+
+# ------------------------------------------------------------- property fuzz
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_FUZZ_COLS = ["id", "v", "g", "t2", "lang"]
+
+
+def _mm_pdf(n=512, seed=29):
+    rng = np.random.default_rng(seed)
+    # t2: long strings sharing prefixes so block minima truncate at the
+    # 64-char stats cap (the candidate-decode path), plus short outliers
+    t2 = [("w" * 70 + f"{rng.integers(0, 9)}{i:05d}") if i % 3 else f"a{i:04d}"
+          for i in range(n)]
+    g = rng.normal(0, 5, n)
+    g[rng.random(n) < 0.06] = np.nan  # aggregate-only column: NaN allowed
+    pdf = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "v": rng.integers(-50, 50, n).astype("float64"),
+        "g": np.round(g, 3),
+        "t2": t2,
+        "lang": rng.choice(["en", "de", "fr", "zh", "es"], n),
+    })
+    for col, frac in (("v", 0.15), ("lang", 0.05), ("t2", 0.06), ("g", 0.05)):
+        mask = rng.random(n) < frac
+        pdf.loc[mask, col] = None
+    pdf["v"] = pdf["v"].astype("Int64")
+    return pdf
+
+
+@pytest.fixture(scope="module")
+def mm_fuzz(spark, tmp_path_factory):
+    import glob
+
+    from parquet_main_spark.operators.encode import (
+        gdicts_from_json, read_meta,
+    )
+
+    pdf = _mm_pdf()
+    out = str(tmp_path_factory.mktemp("mmfuzz"))
+    df = spark.createDataFrame(
+        pdf.astype(object).where(pdf.notna(), None),
+        "id long, v long, g double, t2 string, lang string")
+    encode_table(spark, df, EncodeConfig(
+        out_dir=out, bucket_key="id", buckets=1, block_size=32,
+        snapshot_id="mmfz"))
+    meta = read_meta(spark, out)
+    gd = gdicts_from_json(meta.get("gdicts", {}), meta["logical"])
+    (path,) = glob.glob(f"{out}/blocks/bucket=*/*.parquet")
+    return pdf, path, meta["logical"], gd
+
+
+def _mm_oracle(pdf, keep, col):
+    s = pdf[col][keep].dropna()
+    vals = s.to_numpy()
+    if not len(vals):
+        return None, None
+    if col == "g":
+        nan = np.isnan(vals.astype(float))
+        mn = float("nan") if nan.all() else float(np.nanmin(vals.astype(float)))
+        mx = float("nan") if nan.any() else float(vals.astype(float).max())
+        return mn, mx
+    return min(vals), max(vals)
+
+
+def _mm_trees():
+    # predicates range over the NaN-free columns only (the existing Kleene
+    # fuzzer's convention); aggregation targets include the NaN column
+    from test_predicate_property import _tree  # noqa: F401
+
+    base = st.one_of(st.none(), _mm_tree_remap(_tree()))
+    return base
+
+
+def _mm_tree_remap(strategy):
+    # the imported strategy speaks the predfuzz schema (id, v, f, lang, t);
+    # remap its columns onto this table's (f->v numeric, t->lang strings)
+    def remap(e):
+        if isinstance(e, And):
+            return And([remap(c) for c in e.children])
+        if isinstance(e, Or):
+            return Or([remap(c) for c in e.children])
+        if isinstance(e, Not):
+            return Not(remap(e.child))
+        col = {"f": "v", "t": "lang"}.get(e.col, e.col)
+        v = e.value
+        if e.col == "f" and e.op not in ("isnull", "notnull"):
+            v = int(v) if not isinstance(v, (list, tuple)) else v
+            if isinstance(v, tuple):
+                v = tuple(int(x) for x in v)
+        if e.col == "t" and e.op not in ("isnull", "notnull", "startswith"):
+            v = "en" if not isinstance(v, (list, tuple)) else v
+        if e.op == "startswith" and e.col == "t":
+            v = "e"
+        return Predicate(col, e.op, v)
+
+    return strategy.map(remap)
+
+
+@settings(max_examples=150, deadline=None)
+@given(expr=_mm_trees())
+def _check_minmax_expr(fuzz, expr):
+    import pyarrow as pa
+
+    from test_predicate_property import _kleene
+
+    from parquet_main_spark.operators import aggregates as agg_mod
+
+    pdf, path, logical, gd = fuzz
+    it = iter([pa.record_batch({"path": [path]})])
+    (batch,) = list(agg_mod._minmax_file(logical, _FUZZ_COLS, expr, gd, it))
+    got = batch.to_pylist()[0]
+    if expr is None:
+        keep = np.ones(len(pdf), bool)
+    else:
+        keep, _ = _kleene(expr, pdf)
+    for c in _FUZZ_COLS:
+        mn, mx = _mm_oracle(pdf, keep, c)
+        gmn, gmx = got[f"min_{c}"], got[f"max_{c}"]
+        assert _eq(gmn, None if mn is None else type(gmn)(mn) if gmn is not None else mn), \
+            (c, "min", gmn, mn, repr(expr))
+        assert _eq(gmx, None if mx is None else type(gmx)(mx) if gmx is not None else mx), \
+            (c, "max", gmx, mx, repr(expr))
+
+
+def test_minmax_matches_kleene_oracle(mm_fuzz):
+    _check_minmax_expr(mm_fuzz)
