@@ -133,6 +133,20 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     extra["point_lookup_url_sec"] = round(best, 3)
 
+    # in-situ aggregate pushdowns (r6): MIN/MAX of the timestamp column from
+    # block statistics alone + DISTINCT langs from dictionary blobs alone —
+    # both metadata reads, no data pages
+    from parquet_main_spark.operators.aggregates import scan_distinct, scan_minmax
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scan_minmax(spark, out, ["warc_ts", "lang"]).collect()
+        scan_distinct(spark, out, "lang").count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    extra["agg_pushdown_sec"] = round(best, 3)
+
     # -- 3. relational + training-data queries from the contract -----------
     from parquet_main_spark.queries import BENCH_ONLY, QUERIES
 

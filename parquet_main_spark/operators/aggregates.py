@@ -232,6 +232,7 @@ def scan_minmax(
     out_dir: str,
     columns: list[str],
     predicate=None,
+    max_driver_files: int = 64,
 ) -> DataFrame:
     """MIN/MAX of ``columns`` over rows matching ``predicate`` (SQL
     semantics: NULLs ignored, NaN sorts greatest, empty input -> NULLs),
@@ -243,7 +244,11 @@ def scan_minmax(
     Scale shape: per-file stats reads + a bounded candidate decode, one
     task per bucket file, then an O(files)-row Spark aggregation — no data
     shuffle. The file list itself is pre-pruned by the bucket-hash and
-    per-bucket lineage layers, same as scan."""
+    per-bucket lineage layers, same as scan. When the pruned list has at
+    most ``max_driver_files`` entries the per-file kernels run ON THE
+    DRIVER instead (the ``lookup`` rationale: a stats read is ~ms per
+    file, scheduling a distributed job costs ~100x that); the distributed
+    path engages exactly when the table is big enough to need it."""
     meta = read_meta(spark, out_dir)
     logical: dict[str, str] = meta["logical"]
     for c in columns:
@@ -266,6 +271,11 @@ def scan_minmax(
         empty = spark.createDataFrame([], out_schema)
         return empty.agg(*aggs)
     paths = [p for p, _ in files]
+    if len(paths) <= max_driver_files:
+        batches = list(_minmax_file(
+            logical, list(columns), expr, gdicts,
+            iter([pa.record_batch({"path": paths})])))
+        return spark.createDataFrame(pa.Table.from_batches(batches)).agg(*aggs)
     tasks = spark.createDataFrame([(p,) for p in paths], "path string") \
         .repartition(len(paths))
     per_file = tasks.mapInArrow(
@@ -360,6 +370,7 @@ def scan_distinct(
     out_dir: str,
     column: str,
     predicate=None,
+    max_driver_files: int = 64,
 ) -> DataFrame:
     """DISTINCT values of one column (SQL semantics: NULL is a value).
     Dict-family blocks are answered from dictionary blobs alone — a
@@ -367,7 +378,9 @@ def scan_distinct(
     and zero data pages; only non-dict-coded blocks decode, and only the
     target column's row groups are ever read. Global-dictionary values are
     added once driver-side (each gdict entry was sampled from real input
-    rows, encode.py, so it occurs in the table).
+    rows, encode.py, so it occurs in the table). Small file lists (at most
+    ``max_driver_files``) run the per-file kernel on the driver — the
+    ``lookup`` rationale — while bigger tables fan out one task per file.
 
     With a ``predicate`` the dictionary shortcut is unsound (a dict value
     may occur only in filtered-out rows), so it falls back to the pruned
@@ -386,7 +399,13 @@ def scan_distinct(
     files = [p for p, _ in _list_block_files(out_dir, spark)]
     out_schema = f"`{column}` {spark_type(lt)}"
     pieces = []
-    if files:
+    if files and len(files) <= max_driver_files:
+        batches = list(_distinct_file(
+            logical, column, gdicts, iter([pa.record_batch({"path": files})])))
+        if batches:
+            pieces.append(spark.createDataFrame(
+                pa.Table.from_batches(batches)))
+    elif files:
         tasks = spark.createDataFrame([(p,) for p in files], "path string") \
             .repartition(len(files))
         pieces.append(tasks.mapInArrow(

@@ -40,8 +40,9 @@ def _minmax_truth(df, cols):
     return df.agg(*aggs).collect()[0].asDict()
 
 
-def _check_minmax(spark, out, df, cols, pred=None, sdf=None):
-    got = scan_minmax(spark, out, cols, predicate=pred).collect()[0].asDict()
+def _check_minmax(spark, out, df, cols, pred=None, sdf=None, **kw):
+    got = scan_minmax(spark, out, cols, predicate=pred,
+                      **kw).collect()[0].asDict()
     want = _minmax_truth(sdf if sdf is not None else df, cols)
     assert set(got) == set(want)
     for k in want:
@@ -52,9 +53,9 @@ def _distinct_key(v):
     return (v is None, str(v))
 
 
-def _check_distinct(spark, out, df, col, pred=None, sdf=None):
-    got = sorted((r[0] for r in scan_distinct(spark, out, col,
-                                              predicate=pred).collect()),
+def _check_distinct(spark, out, df, col, pred=None, sdf=None, **kw):
+    got = sorted((r[0] for r in scan_distinct(spark, out, col, predicate=pred,
+                                              **kw).collect()),
                  key=_distinct_key)
     src = sdf if sdf is not None else df
     want = sorted((r[0] for r in src.select(col).distinct().collect()),
@@ -124,6 +125,19 @@ def test_minmax_with_predicates(spark, mixed):
     for pred, sdf in cases:
         _check_minmax(spark, out, df, ["id", "val", "s", "ts", "d64"],
                       pred=pred, sdf=sdf)
+
+
+def test_distributed_path_matches_driver_path(spark, mixed):
+    """max_driver_files=0 forces the one-task-per-file job; results must be
+    identical to the (default) driver fast path."""
+    df, out = mixed
+    _check_minmax(spark, out, df, ["id", "val", "s", "ts", "d64", "blob"],
+                  max_driver_files=0)
+    _check_minmax(spark, out, df, ["id", "s"],
+                  pred=Predicate("lang", "=", "en"),
+                  sdf=df.filter(F.col("lang") == "en"), max_driver_files=0)
+    for col in ["lang", "s", "val"]:
+        _check_distinct(spark, out, df, col, max_driver_files=0)
 
 
 def test_minmax_empty_match_is_all_null(spark, mixed):
