@@ -117,94 +117,95 @@ def _dense_scalar(v, ct: str) -> np.ndarray:
     return a
 
 
-def _minmax_file(logical: dict[str, str], cols: list[str], expr, gdicts: dict,
-                 it):
-    """One row per bucket file: per-column (min, max) partials. Stats-exact
-    blocks never decode; inexact or boundary blocks decode only while their
-    conservative bounds could still beat the file's stats-derived best."""
-    expr = _as_expr(expr)
-    schema = pa.schema(
+def _minmax_schema(logical: dict[str, str], cols: list[str]) -> pa.Schema:
+    return pa.schema(
         [(f"{side}_{c}", dense_to_arrow(
             np.empty(0, dtype=_NP_DTYPE.get(codec_type(logical[c]), object)),
             None, logical[c]).type)
          for c in cols for side in ("min", "max")])
-    for batch in it:
-        for path in batch.column("path").to_pylist():
-            f = _open_parquet(path)
-            stats = f.read(columns=_STATS_COLS)
-            if expr is None:
-                bids = stats.column("block_id").to_pylist()
-                may = allm = {b for b in bids if b >= 0}
+
+
+def _minmax_one(logical: dict[str, str], cols: list[str], expr, gdicts: dict,
+                path: str, schema: pa.Schema) -> pa.RecordBatch:
+    """One bucket file -> a one-row batch of per-column (min, max)
+    partials. Stats-exact blocks never decode; inexact or boundary blocks
+    decode only while their conservative bounds could still beat the
+    file's stats-derived best."""
+    f = _open_parquet(path)
+    stats = f.read(columns=_STATS_COLS)
+    if expr is None:
+        bids = stats.column("block_id").to_pylist()
+        may = allm = {b for b in bids if b >= 0}
+    else:
+        may, allm = _classify_blocks(stats, expr, logical)
+    arrays = []
+    for c in cols:
+        lt = logical[c]
+        ct = codec_type(lt)
+        sub = stats.filter(pc.and_(
+            pc.equal(stats.column("col"), pa.scalar(c)),
+            pc.greater_equal(stats.column("block_id"),
+                             pa.scalar(0, pa.int32()))))
+        lo_name, hi_name = ("min_int", "max_int") \
+            if ct in INT_TYPES or ct == "bool" else \
+            (("min_num", "max_num") if ct in FLOAT_TYPES
+             else ("min_str", "max_str"))
+        rows = {k: sub.column(k).to_pylist()
+                for k in ("block_id", "n", "null_count",
+                          lo_name, hi_name)}
+        mn = mx = None
+        # (bid, min side inexact, cons lo, max side inexact, cons hi)
+        pend: list[tuple[int, bool, object, bool, object]] = []
+        for i, b in enumerate(rows["block_id"]):
+            if b not in may or rows["null_count"][i] == rows["n"][i]:
+                continue
+            lo, hi = rows[lo_name][i], rows[hi_name][i]
+            emn, emx = (None, None) if b not in allm else \
+                _exact_bounds(lt, ct, lo, hi)
+            if emn is not None and (mn is None or emn < mn):
+                mn = emn
+            if emx is not None and (mx is None or emx > mx):
+                mx = emx
+            if emn is None or emx is None:
+                clo, chi = _cons_bounds(ct, lo, hi)
+                pend.append((b, emn is None, clo, emx is None, chi))
+        # candidate refinement: decode only blocks whose conservative
+        # bounds could still move an extreme past the stats-derived
+        # best (a None bound is unknown -> always a candidate)
+        needs = set()
+        for b, min_inexact, clo, max_inexact, chi in pend:
+            want_min = min_inexact and (
+                mn is None or clo is None or clo < mn)
+            want_max = max_inexact and (
+                mx is None or chi is None or chi > mx)
+            if want_min or want_max:
+                needs.add(b)
+        if needs:
+            for db in _decode_file(path, logical, [c], expr, gdicts,
+                                   restrict_blocks=needs):
+                vals, _ = arrow_to_dense(db.column(0), lt)
+                if not len(vals):
+                    continue
+                if ct in FLOAT_TYPES:
+                    nan_all = bool(np.isnan(vals).all())
+                    vmn = float("nan") if nan_all else np.nanmin(vals)
+                    vmx = float("nan") if nan_all or bool(
+                        np.isnan(vals).any()) else vals.max()
+                else:
+                    vmn, vmx = vals.min(), vals.max()
+                if mn is None or _lt(vmn, mn):
+                    mn = vmn
+                if mx is None or _gt(vmx, mx):
+                    mx = vmx
+        for side, v in (("min", mn), ("max", mx)):
+            if v is None:
+                arrays.append(dense_to_arrow(
+                    np.empty(0, dtype=_NP_DTYPE.get(ct, object)),
+                    np.array([False]), lt))
             else:
-                may, allm = _classify_blocks(stats, expr, logical)
-            arrays = []
-            for c in cols:
-                lt = logical[c]
-                ct = codec_type(lt)
-                sub = stats.filter(pc.and_(
-                    pc.equal(stats.column("col"), pa.scalar(c)),
-                    pc.greater_equal(stats.column("block_id"),
-                                     pa.scalar(0, pa.int32()))))
-                lo_name, hi_name = ("min_int", "max_int") \
-                    if ct in INT_TYPES or ct == "bool" else \
-                    (("min_num", "max_num") if ct in FLOAT_TYPES
-                     else ("min_str", "max_str"))
-                rows = {k: sub.column(k).to_pylist()
-                        for k in ("block_id", "n", "null_count",
-                                  lo_name, hi_name)}
-                mn = mx = None
-                # (bid, min side inexact, cons lo, max side inexact, cons hi)
-                pend: list[tuple[int, bool, object, bool, object]] = []
-                for i, b in enumerate(rows["block_id"]):
-                    if b not in may or rows["null_count"][i] == rows["n"][i]:
-                        continue
-                    lo, hi = rows[lo_name][i], rows[hi_name][i]
-                    emn, emx = (None, None) if b not in allm else \
-                        _exact_bounds(lt, ct, lo, hi)
-                    if emn is not None and (mn is None or emn < mn):
-                        mn = emn
-                    if emx is not None and (mx is None or emx > mx):
-                        mx = emx
-                    if emn is None or emx is None:
-                        clo, chi = _cons_bounds(ct, lo, hi)
-                        pend.append((b, emn is None, clo, emx is None, chi))
-                # candidate refinement: decode only blocks whose conservative
-                # bounds could still move an extreme past the stats-derived
-                # best (a None bound is unknown -> always a candidate)
-                needs = set()
-                for b, min_inexact, clo, max_inexact, chi in pend:
-                    want_min = min_inexact and (
-                        mn is None or clo is None or clo < mn)
-                    want_max = max_inexact and (
-                        mx is None or chi is None or chi > mx)
-                    if want_min or want_max:
-                        needs.add(b)
-                if needs:
-                    for db in _decode_file(path, logical, [c], expr, gdicts,
-                                           restrict_blocks=needs):
-                        vals, _ = arrow_to_dense(db.column(0), lt)
-                        if not len(vals):
-                            continue
-                        if ct in FLOAT_TYPES:
-                            nan_all = bool(np.isnan(vals).all())
-                            vmn = float("nan") if nan_all else np.nanmin(vals)
-                            vmx = float("nan") if nan_all or bool(
-                                np.isnan(vals).any()) else vals.max()
-                        else:
-                            vmn, vmx = vals.min(), vals.max()
-                        if mn is None or _lt(vmn, mn):
-                            mn = vmn
-                        if mx is None or _gt(vmx, mx):
-                            mx = vmx
-                for side, v in (("min", mn), ("max", mx)):
-                    if v is None:
-                        arrays.append(dense_to_arrow(
-                            np.empty(0, dtype=_NP_DTYPE.get(ct, object)),
-                            np.array([False]), lt))
-                    else:
-                        arrays.append(dense_to_arrow(
-                            _dense_scalar(v, ct), None, lt))
-            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+                arrays.append(dense_to_arrow(
+                    _dense_scalar(v, ct), None, lt))
+    return pa.RecordBatch.from_arrays(arrays, schema=schema)
 
 
 def _gt(a, b) -> bool:
@@ -227,9 +228,35 @@ def _lt(a, b) -> bool:
     return a < b
 
 
+def _minmax_tasks(logical: dict[str, str], cols: list[str], expr,
+                  gdicts_list: list[dict], it):
+    """mapInArrow worker: each task row is (path, dir_id) — dir_id picks
+    the owning directory's global dictionaries (the scan_many shape)."""
+    expr = _as_expr(expr)
+    schema = _minmax_schema(logical, cols)
+    for batch in it:
+        for path, di in zip(batch.column("path").to_pylist(),
+                            batch.column("dir_id").to_pylist()):
+            yield _minmax_one(logical, cols, expr, gdicts_list[di],
+                              path, schema)
+
+
+def _dirs_and_metas(spark: SparkSession, out_dir):
+    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
+    if not dirs:
+        raise ValueError("need at least one directory")
+    metas = [read_meta(spark, d) for d in dirs]
+    logical = metas[0]["logical"]
+    for d, m in zip(dirs[1:], metas[1:]):
+        if m["logical"] != logical:
+            raise ValueError(f"schema mismatch: {d} has {m['logical']}, "
+                             f"{dirs[0]} has {logical}")
+    return dirs, metas, logical
+
+
 def scan_minmax(
     spark: SparkSession,
-    out_dir: str,
+    out_dir: "str | list[str]",
     columns: list[str],
     predicate=None,
     max_driver_files: int = 64,
@@ -239,7 +266,9 @@ def scan_minmax(
     answered from block statistics wherever they are exact and the block
     is definite-all-match; everything else decodes only the candidate
     blocks that could still move an extreme. Returns a ONE-ROW DataFrame
-    with columns ``min_<c>``/``max_<c>``.
+    with columns ``min_<c>``/``max_<c>``. ``out_dir`` may be a LIST of
+    directories (a streaming table's batch dirs — the scan_many shape):
+    each dir prunes independently, one combined task list, one job.
 
     Scale shape: per-file stats reads + a bounded candidate decode, one
     task per bucket file, then an O(files)-row Spark aggregation — no data
@@ -249,125 +278,144 @@ def scan_minmax(
     DRIVER instead (the ``lookup`` rationale: a stats read is ~ms per
     file, scheduling a distributed job costs ~100x that); the distributed
     path engages exactly when the table is big enough to need it."""
-    meta = read_meta(spark, out_dir)
-    logical: dict[str, str] = meta["logical"]
+    dirs, metas, logical = _dirs_and_metas(spark, out_dir)
     for c in columns:
         if c not in logical:
             raise KeyError(f"unknown column {c!r}")
         if logical[c].startswith("vector("):
             raise TypeError(f"min/max is not defined for vector column {c!r}")
-    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
+    gdicts_list = [gdicts_from_json(m.get("gdicts", {}), logical)
+                   for m in metas]
     raw = _as_expr(predicate)
     expr = _normalize_expr(raw, logical)
-    files = _prune_files_by_bucket(_list_block_files(out_dir, spark),
-                                   _bucket_candidates(raw, meta))
-    files = _prune_files_by_lineage(files, out_dir, expr, logical)
+    units: list[tuple[str, int]] = []
+    for di, (d, m) in enumerate(zip(dirs, metas)):
+        files = _prune_files_by_bucket(_list_block_files(d, spark),
+                                       _bucket_candidates(raw, m))
+        files = _prune_files_by_lineage(files, d, expr, logical)
+        units.extend((p, di) for p, _ in files)
     out_schema = ", ".join(
         f"`{side}_{c}` {spark_type(logical[c])}"
         for c in columns for side in ("min", "max"))
     aggs = [getattr(F, side)(f"{side}_{c}").alias(f"{side}_{c}")
             for c in columns for side in ("min", "max")]
-    if not files:
+    if not units:
         empty = spark.createDataFrame([], out_schema)
         return empty.agg(*aggs)
-    paths = [p for p, _ in files]
-    if len(paths) <= max_driver_files:
-        batches = list(_minmax_file(
-            logical, list(columns), expr, gdicts,
-            iter([pa.record_batch({"path": paths})])))
+    if len(units) <= max_driver_files:
+        schema = _minmax_schema(logical, list(columns))
+        batches = [_minmax_one(logical, list(columns), expr,
+                               gdicts_list[di], p, schema)
+                   for p, di in units]
         return spark.createDataFrame(pa.Table.from_batches(batches)).agg(*aggs)
-    tasks = spark.createDataFrame([(p,) for p in paths], "path string") \
-        .repartition(len(paths))
+    tasks = spark.createDataFrame(units, "path string, dir_id int") \
+        .repartition(len(units))
     per_file = tasks.mapInArrow(
-        partial(_minmax_file, logical, list(columns), expr, gdicts),
+        partial(_minmax_tasks, logical, list(columns), expr, gdicts_list),
         out_schema)
     return per_file.agg(*aggs)
 
 
-def _distinct_file(logical: dict[str, str], col: str, gdicts: dict, it):
-    """Distinct non-null values of ``col`` found in each bucket file, plus
-    one NULL element when the column has any null there. Reads, in order of
-    preference: the bucket dictionary blob alone (covers the whole bucket
-    by construction), per-block dict blobs, and only for non-dict codecs
-    the data pages of the target column's blocks. gdict-coded blocks
-    contribute nothing here — their value universe is added once,
-    driver-side."""
+def _distinct_schema(logical: dict[str, str], col: str) -> pa.Schema:
+    return pa.schema([(col, dense_to_arrow(
+        np.empty(0, dtype=_NP_DTYPE.get(codec_type(logical[col]), object)),
+        None, logical[col]).type)])
+
+
+def _distinct_one(logical: dict[str, str], col: str, gdicts: dict,
+                  path: str, schema: pa.Schema) -> "pa.RecordBatch | None":
+    """Distinct non-null values of ``col`` found in one bucket file, plus
+    one NULL element when the column has any null there (None when the
+    file contributes nothing). Reads, in order of preference: the bucket
+    dictionary blob alone (covers the whole bucket by construction),
+    per-block dict blobs, and only for non-dict codecs the data pages of
+    the target column's blocks. gdict-coded blocks contribute nothing
+    here — their value universe is added once, driver-side."""
     lt = logical[col]
     ct = codec_type(lt)
-    schema = pa.schema([(col, dense_to_arrow(
-        np.empty(0, dtype=_NP_DTYPE.get(ct, object)), None, lt).type)])
-    for batch in it:
-        for path in batch.column("path").to_pylist():
-            f = _open_parquet(path)
-            md = f.metadata
-            arrow_schema = md.schema.to_arrow_schema()
-            col_idx = arrow_schema.get_field_index("col")
-            parts: list[np.ndarray] = []
-            has_null = False
-            bucket_dict = None
-            needs: set[int] = set()
-            read_cols = ["block_id", "col", "codec", "n", "null_count", "dict"]
-            for rg in range(md.num_row_groups):
-                cst = md.row_group(rg).column(col_idx).statistics
-                if (cst is not None and cst.has_min_max
-                        and cst.min == cst.max and cst.min != col):
-                    continue  # other columns' row groups: never read
-                tbl = f.read_row_group(rg, columns=read_cols)
-                tbl = tbl.filter(pc.equal(tbl.column("col"), pa.scalar(col)))
-                for i in range(tbl.num_rows):
-                    bid = tbl.column("block_id")[i].as_py()
-                    if bid == -1:
-                        bucket_dict = dict_codec.load_dict(
-                            tbl.column("dict")[i].as_py())
-                        continue
-                    if tbl.column("null_count")[i].as_py() > 0:
-                        has_null = True
-                    codec = tbl.column("codec")[i].as_py()
-                    if codec == "bdict" or codec == "gdict":
-                        continue  # bucket dict / driver-side gdict covers it
-                    if codec == "dict":
-                        parts.append(dict_codec.load_dict(
-                            tbl.column("dict")[i].as_py()))
-                    else:
-                        needs.add(bid)
-            if bucket_dict is not None:
-                # the bucket dictionary IS np.unique over the whole bucket's
-                # non-null values (encode.py) — it covers every block of the
-                # column in this file, whatever codec each block chose
-                parts = [bucket_dict]
-                needs = set()
-            if needs:
-                for db in _decode_file(path, logical, [col], None, gdicts,
-                                       restrict_blocks=needs):
-                    vals, _ = arrow_to_dense(db.column(0), lt)
-                    if len(vals):
-                        parts.append(vals)
-            if not parts and not has_null:
+    f = _open_parquet(path)
+    md = f.metadata
+    arrow_schema = md.schema.to_arrow_schema()
+    col_idx = arrow_schema.get_field_index("col")
+    parts: list[np.ndarray] = []
+    has_null = False
+    bucket_dict = None
+    needs: set[int] = set()
+    read_cols = ["block_id", "col", "codec", "n", "null_count", "dict"]
+    for rg in range(md.num_row_groups):
+        cst = md.row_group(rg).column(col_idx).statistics
+        if (cst is not None and cst.has_min_max
+                and cst.min == cst.max and cst.min != col):
+            continue  # other columns' row groups: never read
+        tbl = f.read_row_group(rg, columns=read_cols)
+        tbl = tbl.filter(pc.equal(tbl.column("col"), pa.scalar(col)))
+        for i in range(tbl.num_rows):
+            bid = tbl.column("block_id")[i].as_py()
+            if bid == -1:
+                bucket_dict = dict_codec.load_dict(
+                    tbl.column("dict")[i].as_py())
                 continue
-            if parts:
-                allv = parts[0] if len(parts) == 1 else np.concatenate(parts)
-                uniq = np.unique(allv)
-                if ct in NARROW_INT:
-                    uniq = uniq.astype(NARROW_INT[ct])
-                elif ct == "float32":
-                    uniq = uniq.astype(np.float32)
-                elif ct == "bool":
-                    uniq = uniq.astype(np.bool_)
-                elif uniq.dtype != object and ct in ("string", "binary"):
-                    uniq = uniq.astype(object)
+            if tbl.column("null_count")[i].as_py() > 0:
+                has_null = True
+            codec = tbl.column("codec")[i].as_py()
+            if codec == "bdict" or codec == "gdict":
+                continue  # bucket dict / driver-side gdict covers it
+            if codec == "dict":
+                parts.append(dict_codec.load_dict(
+                    tbl.column("dict")[i].as_py()))
             else:
-                uniq = np.empty(0, dtype=_NP_DTYPE.get(ct, object))
-            mask = None
-            if has_null:
-                mask = np.ones(len(uniq) + 1, dtype=bool)
-                mask[-1] = False
-            yield pa.RecordBatch.from_arrays(
-                [dense_to_arrow(uniq, mask, lt)], schema=schema)
+                needs.add(bid)
+    if bucket_dict is not None:
+        # the bucket dictionary IS np.unique over the whole bucket's
+        # non-null values (encode.py) — it covers every block of the
+        # column in this file, whatever codec each block chose
+        parts = [bucket_dict]
+        needs = set()
+    if needs:
+        for db in _decode_file(path, logical, [col], None, gdicts,
+                               restrict_blocks=needs):
+            vals, _ = arrow_to_dense(db.column(0), lt)
+            if len(vals):
+                parts.append(vals)
+    if not parts and not has_null:
+        return None
+    if parts:
+        allv = parts[0] if len(parts) == 1 else np.concatenate(parts)
+        uniq = np.unique(allv)
+        if ct in NARROW_INT:
+            uniq = uniq.astype(NARROW_INT[ct])
+        elif ct == "float32":
+            uniq = uniq.astype(np.float32)
+        elif ct == "bool":
+            uniq = uniq.astype(np.bool_)
+        elif uniq.dtype != object and ct in ("string", "binary"):
+            uniq = uniq.astype(object)
+    else:
+        uniq = np.empty(0, dtype=_NP_DTYPE.get(ct, object))
+    mask = None
+    if has_null:
+        mask = np.ones(len(uniq) + 1, dtype=bool)
+        mask[-1] = False
+    return pa.RecordBatch.from_arrays(
+        [dense_to_arrow(uniq, mask, lt)], schema=schema)
+
+
+def _distinct_tasks(logical: dict[str, str], col: str,
+                    gdicts_list: list[dict], it):
+    """mapInArrow worker: each task row is (path, dir_id) — dir_id picks
+    the owning directory's global dictionaries (the scan_many shape)."""
+    schema = _distinct_schema(logical, col)
+    for batch in it:
+        for path, di in zip(batch.column("path").to_pylist(),
+                            batch.column("dir_id").to_pylist()):
+            out = _distinct_one(logical, col, gdicts_list[di], path, schema)
+            if out is not None:
+                yield out
 
 
 def scan_distinct(
     spark: SparkSession,
-    out_dir: str,
+    out_dir: "str | list[str]",
     column: str,
     predicate=None,
     max_driver_files: int = 64,
@@ -381,38 +429,49 @@ def scan_distinct(
     rows, encode.py, so it occurs in the table). Small file lists (at most
     ``max_driver_files``) run the per-file kernel on the driver — the
     ``lookup`` rationale — while bigger tables fan out one task per file.
+    ``out_dir`` may be a LIST of directories (a streaming table's batch
+    dirs): one combined task list, one job, per-dir global dictionaries.
 
     With a ``predicate`` the dictionary shortcut is unsound (a dict value
     may occur only in filtered-out rows), so it falls back to the pruned
-    ``scan(columns=[column], predicate).distinct()``."""
-    from .decode import scan
+    ``scan``/``scan_many`` ``.distinct()``."""
+    from .decode import scan, scan_many
 
-    meta = read_meta(spark, out_dir)
-    logical: dict[str, str] = meta["logical"]
+    dirs, metas, logical = _dirs_and_metas(spark, out_dir)
     if column not in logical:
         raise KeyError(f"unknown column {column!r}")
     if predicate is not None:
-        return scan(spark, out_dir, columns=[column],
-                    predicate=predicate).distinct()
+        if len(dirs) == 1:
+            return scan(spark, dirs[0], columns=[column],
+                        predicate=predicate).distinct()
+        return scan_many(spark, dirs, columns=[column],
+                         predicate=predicate).distinct()
     lt = logical[column]
-    gdicts = gdicts_from_json(meta.get("gdicts", {}), logical)
-    files = [p for p, _ in _list_block_files(out_dir, spark)]
+    ct = codec_type(lt)
+    gdicts_list = [gdicts_from_json(m.get("gdicts", {}), logical)
+                   for m in metas]
+    units = [(p, di) for di, d in enumerate(dirs)
+             for p, _ in _list_block_files(d, spark)]
     out_schema = f"`{column}` {spark_type(lt)}"
     pieces = []
-    if files and len(files) <= max_driver_files:
-        batches = list(_distinct_file(
-            logical, column, gdicts, iter([pa.record_batch({"path": files})])))
+    if units and len(units) <= max_driver_files:
+        schema = _distinct_schema(logical, column)
+        batches = [b for p, di in units
+                   if (b := _distinct_one(logical, column, gdicts_list[di],
+                                          p, schema)) is not None]
         if batches:
             pieces.append(spark.createDataFrame(
                 pa.Table.from_batches(batches)))
-    elif files:
-        tasks = spark.createDataFrame([(p,) for p in files], "path string") \
-            .repartition(len(files))
+    elif units:
+        tasks = spark.createDataFrame(units, "path string, dir_id int") \
+            .repartition(len(units))
         pieces.append(tasks.mapInArrow(
-            partial(_distinct_file, logical, column, gdicts), out_schema))
-    if column in gdicts and len(gdicts[column]):
-        vals = gdicts[column]
-        ct = codec_type(lt)
+            partial(_distinct_tasks, logical, column, gdicts_list),
+            out_schema))
+    gvals = [gd[column] for gd in gdicts_list
+             if column in gd and len(gd[column])]
+    if gvals:
+        vals = np.unique(np.concatenate(gvals)) if len(gvals) > 1 else gvals[0]
         if ct in NARROW_INT:
             vals = vals.astype(NARROW_INT[ct])
         elif ct == "float32":

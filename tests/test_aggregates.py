@@ -225,6 +225,31 @@ def test_minmax_distinct_forced_plain_column(spark, tmp_path):
     _check_minmax(spark, out, df, ["v"])
 
 
+def test_multi_dir_minmax_and_distinct(spark, tmp_path):
+    """List-of-dirs form (streaming batch dirs): per-dir pruning + per-dir
+    global dictionaries, one combined answer — driver and distributed
+    paths both."""
+    rows = [(i, f"k{i % 7}" if i % 11 else None, float(i % 13)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k string, x double")
+    dirs = []
+    for j, part in enumerate((df.filter(F.col("id") < 1000),
+                              df.filter(F.col("id") >= 1000))):
+        d = str(tmp_path / f"b{j}")
+        encode_table(spark, part, EncodeConfig(
+            out_dir=d, bucket_key="id", buckets=2, block_size=128,
+            snapshot_id=f"b{j}", global_dict_max_card=64))
+        dirs.append(d)
+    for kw in ({}, {"max_driver_files": 0}):
+        _check_minmax(spark, dirs, df, ["id", "k", "x"], **kw)
+        _check_minmax(spark, dirs, df, ["k"],
+                      pred=Predicate("id", "between", (500, 1500)),
+                      sdf=df.filter(F.col("id").between(500, 1500)), **kw)
+        _check_distinct(spark, dirs, df, "k", **kw)
+    _check_distinct(spark, dirs, df, "k",
+                    pred=Predicate("id", "<", 1200),
+                    sdf=df.filter(F.col("id") < 1200))
+
+
 def test_minmax_all_null_column(spark, tmp_path):
     df = spark.createDataFrame(
         [(i, None) for i in range(300)], "id long, v string")
@@ -348,8 +373,8 @@ def _check_minmax_expr(fuzz, expr):
     from parquet_main_spark.operators import aggregates as agg_mod
 
     pdf, path, logical, gd = fuzz
-    it = iter([pa.record_batch({"path": [path]})])
-    (batch,) = list(agg_mod._minmax_file(logical, _FUZZ_COLS, expr, gd, it))
+    it = iter([pa.record_batch({"path": [path], "dir_id": [0]})])
+    (batch,) = list(agg_mod._minmax_tasks(logical, _FUZZ_COLS, expr, [gd], it))
     got = batch.to_pylist()[0]
     if expr is None:
         keep = np.ones(len(pdf), bool)
