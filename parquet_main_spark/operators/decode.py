@@ -1384,7 +1384,8 @@ def scan_many(
     )
 
 
-def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
+def scan_count(spark: SparkSession, out_dir: str, predicate=None,
+               max_driver_files: int = 64) -> int:
     """COUNT(*) with a pushed predicate, reading the minimum possible:
     definite-all-match blocks (three-valued zone-map classification,
     incl. under Not/Or trees) are counted from statistics alone — their
@@ -1392,7 +1393,10 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
     boundary blocks decode, and only their predicate columns. The
     reference's count-only converter sink (SURVEY §2.5 Q7) taken to its
     logical end: a selective COUNT at 100 TB touches a few boundary
-    blocks' predicate columns, not the table."""
+    blocks' predicate columns, not the table. When pruning leaves at most
+    ``max_driver_files`` files the per-file counts run on the driver (the
+    ``lookup`` rationale: a stats read is ~ms per file, a distributed job
+    ~100x that)."""
     meta = read_meta(spark, out_dir)
     logical: dict[str, str] = meta["logical"]
     from .encode import gdicts_from_json
@@ -1405,6 +1409,8 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None) -> int:
     files = _prune_files_by_lineage(files, out_dir, expr, logical)
     if not files:
         return 0
+    if len(files) <= max_driver_files:
+        return sum(_count_file(p, logical, expr, gdicts) for p in files)
 
     def count_tasks(it):
         for batch in it:

@@ -700,6 +700,9 @@ def test_scan_count_matches_oracle(spark, encoded):
     ]
     for expr, sql in cases:
         assert scan_count(spark, out, expr) == df.filter(sql).count(), sql
+        # distributed path (max_driver_files=0 forces the per-file job)
+        assert scan_count(spark, out, expr,
+                          max_driver_files=0) == df.filter(sql).count(), sql
 
 
 def test_scan_count_with_nulls(spark, tmp_path):
