@@ -61,7 +61,7 @@ from .decode import (
 )
 from .encode import STAT_PREFIX_BYTES, STAT_PREFIX_CHARS, gdicts_from_json
 
-__all__ = ["scan_minmax", "scan_distinct"]
+__all__ = ["scan_minmax", "scan_distinct", "scan_topk"]
 
 
 def _exact_bounds(lt: str, ct: str, lo, hi):
@@ -487,3 +487,185 @@ def scan_distinct(
     for p in pieces[1:]:
         out = out.unionByName(p)
     return out.distinct()
+
+
+# ------------------------------------------------------------------- top-k
+
+
+def _topk_one(logical: dict[str, str], cols: list[str], order_col: str,
+              k: int, descending: bool, expr, gdicts: dict, path: str):
+    """Stats-guided per-file top-k candidates: blocks are visited in
+    conservative-bound order (upper bounds for DESC, lower for ASC; an
+    unknown bound sorts first), a prefix whose cumulative non-null count
+    reaches ``k`` decodes in one _decode_file call, then a second call
+    picks up only blocks whose bound could still beat the decoded k-th
+    value — at scale an ``ORDER BY ts DESC LIMIT k`` touches ~one block
+    per file, not the file. Yields record batches of candidate rows; the
+    caller's global ``orderBy(...).limit(k)`` merges.
+
+    Rows whose ``order_col`` is NULL rank last (NULLS LAST both
+    directions): when the file cannot fill k from non-null rows, every
+    may-block decodes so NULL-ordered rows reach the merge."""
+    lt = logical[order_col]
+    ct = codec_type(lt)
+    f = _open_parquet(path)
+    stats = f.read(columns=_STATS_COLS)
+    if expr is None:
+        bids_all = stats.column("block_id").to_pylist()
+        may, allm = ({b for b in bids_all if b >= 0},) * 2
+    else:
+        may, allm = _classify_blocks(stats, expr, logical)
+    sub = stats.filter(pc.and_(
+        pc.equal(stats.column("col"), pa.scalar(order_col)),
+        pc.greater_equal(stats.column("block_id"), pa.scalar(0, pa.int32()))))
+    lo_name, hi_name = ("min_int", "max_int") \
+        if ct in INT_TYPES or ct == "bool" else \
+        (("min_num", "max_num") if ct in FLOAT_TYPES
+         else ("min_str", "max_str"))
+    rows = {n: sub.column(n).to_pylist()
+            for n in ("block_id", "n", "null_count", lo_name, hi_name)}
+    cands = []       # (bound, bid, nonnull) — blocks with non-null values
+    null_only = []   # all-null order blocks: only matter for the NULL fill
+    for i, b in enumerate(rows["block_id"]):
+        if b not in may:
+            continue
+        nonnull = rows["n"][i] - rows["null_count"][i]
+        if nonnull == 0:
+            null_only.append((None, b))
+            continue
+        clo, chi = _cons_bounds(ct, rows[lo_name][i], rows[hi_name][i])
+        cands.append(((chi if descending else clo), b, nonnull))
+    if not cands and not null_only:
+        return
+    # unknown bound -> must be visited first (could hold the best value)
+
+    def sort_key(c):
+        bound = c[0]
+        if bound is None:
+            return (0, 0)
+        return (1, _Rev(bound) if descending else bound)
+
+    cands.sort(key=sort_key)
+    prefix, cum = [], 0
+    rest = []
+    for bound, b, nonnull in cands:
+        if cum < k:
+            prefix.append((bound, b))
+            cum += nonnull
+        else:
+            rest.append((bound, b))
+    rest.extend(null_only)
+    got = []
+    kth = None
+    if prefix:
+        for db in _decode_file(path, logical, cols, expr, gdicts,
+                               restrict_blocks={b for _, b in prefix}):
+            got.append(db)
+            yield db
+    # k-th best among decoded non-null order values bounds phase 2 — in the
+    # DENSE domain (int micros for timestamps, key bytes for decimal128),
+    # the domain the conservative bounds live in; float NaN maps to +inf
+    # for ranking (NaN sorts greatest; NaN blocks have None bounds, so the
+    # sentinel can never wrongly prune a NaN-holding block)
+    idx = cols.index(order_col)
+    arrs = [arrow_to_dense(db.column(idx), lt)[0] for db in got]
+    vals = np.concatenate(arrs) if arrs else np.empty(0, dtype=object)
+    if len(vals) >= k:
+        if ct in FLOAT_TYPES:
+            vals = np.where(np.isnan(vals.astype(np.float64)), np.inf, vals)
+        vals = np.sort(vals)
+        kth = vals[len(vals) - k] if descending else vals[k - 1]
+    more = set()
+    for bound, b in rest:
+        if kth is None:
+            more.add(b)  # couldn't fill k: every may-block stays in play
+        elif bound is None:
+            more.add(b)
+        elif descending and not _lt(bound, kth):
+            more.add(b)
+        elif not descending and not _gt(bound, kth):
+            more.add(b)
+    if more:
+        yield from _decode_file(path, logical, cols, expr, gdicts,
+                                restrict_blocks=more)
+
+
+class _Rev:
+    """Reverses comparison order for any comparable value (sort helper)."""
+
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __lt__(self, other):
+        return other.v < self.v
+
+    def __eq__(self, other):
+        return self.v == other.v
+
+
+def _topk_tasks(logical: dict[str, str], cols: list[str], order_col: str,
+                k: int, descending: bool, expr, gdicts_list: list[dict], it):
+    expr = _as_expr(expr)
+    for batch in it:
+        for path, di in zip(batch.column("path").to_pylist(),
+                            batch.column("dir_id").to_pylist()):
+            yield from _topk_one(logical, cols, order_col, k, descending,
+                                 expr, gdicts_list[di], path)
+
+
+def scan_topk(
+    spark: SparkSession,
+    out_dir: "str | list[str]",
+    order_col: str,
+    k: int,
+    columns: list[str] | None = None,
+    predicate=None,
+    descending: bool = True,
+) -> DataFrame:
+    """Top-k rows by one column (``ORDER BY order_col DESC|ASC LIMIT k``,
+    NULLS LAST) with the order pushed into the scan: each bucket file
+    decodes only the blocks its zone maps say can reach the top — the
+    stats-selected prefix plus any block whose conservative bound still
+    beats the decoded k-th value — and ships at most a few blocks of
+    candidates to the global TakeOrderedAndProject merge. The tail-query
+    shape (latest events, largest documents) at 100 TB: ~one block per
+    file read instead of the table. Ties at the k-th value are broken
+    arbitrarily, exactly like SQL LIMIT without a unique tiebreaker.
+
+    ``out_dir`` may be a list of directories (streaming batch dirs)."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    dirs, metas, logical = _dirs_and_metas(spark, out_dir)
+    if order_col not in logical:
+        raise KeyError(f"unknown column {order_col!r}")
+    if logical[order_col].startswith("vector("):
+        raise TypeError(f"cannot order by vector column {order_col!r}")
+    if columns is None:
+        columns = list(logical)
+    cols = list(columns)
+    if order_col not in cols:
+        cols.append(order_col)
+    gdicts_list = [gdicts_from_json(m.get("gdicts", {}), logical)
+                   for m in metas]
+    raw = _as_expr(predicate)
+    expr = _normalize_expr(raw, logical)
+    units: list[tuple[str, int]] = []
+    for di, (d, m) in enumerate(zip(dirs, metas)):
+        files = _prune_files_by_bucket(_list_block_files(d, spark),
+                                       _bucket_candidates(raw, m))
+        files = _prune_files_by_lineage(files, d, expr, logical)
+        units.extend((p, di) for p, _ in files)
+    out_schema = ", ".join(f"`{c}` {spark_type(logical[c])}" for c in cols)
+    order = F.col(order_col).desc_nulls_last() if descending \
+        else F.col(order_col).asc_nulls_last()
+    if not units:
+        return spark.createDataFrame([], out_schema).select(*columns)
+    tasks = spark.createDataFrame(units, "path string, dir_id int") \
+        .repartition(len(units))
+    cand = tasks.mapInArrow(
+        partial(_topk_tasks, logical, cols, order_col, k, descending,
+                expr, gdicts_list),
+        out_schema)
+    return cand.orderBy(order).limit(k).select(*columns)

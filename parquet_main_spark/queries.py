@@ -610,6 +610,33 @@ SELECT
 """
 
 
+def eng_topk_pushdown(spark, sf_dir):
+    """ORDER BY ... LIMIT k pushed into the scan (r6): scan_topk visits
+    each bucket file's blocks in zone-map bound order, decodes a prefix
+    whose non-null count reaches k plus any block whose bound still beats
+    the decoded k-th value, and ships only those candidates to the global
+    TakeOrderedAndProject merge — the tail-query shape (latest/largest
+    rows) reading ~one block per file at any scale. doc_id is unique, so
+    the row set is deterministic without a tiebreaker."""
+    from .operators.aggregates import scan_topk
+    from .operators.decode import Or, Predicate
+
+    out = _encoded_dir(spark, sf_dir, "documents", "doc_id")
+    return scan_topk(
+        spark, out, "doc_id", 12,
+        columns=["doc_id", "lang", "source", "n_chars"],
+        predicate=Or([Predicate("lang", "=", "en"),
+                      Predicate("n_chars", ">", 800)]),
+    )
+
+
+ENG_TOPK_SQL = """
+SELECT doc_id, lang, source, n_chars FROM documents
+WHERE lang = 'en' OR n_chars > 800
+ORDER BY doc_id DESC LIMIT 12
+"""
+
+
 def _codec_forced_docs(spark, sf_dir) -> str:
     """One encoded copy of documents with four codecs PINNED via
     plan_override (strict: no fallback) — the driver-gated proof that each
@@ -2046,6 +2073,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_startswith_filter": eng_startswith_filter,
     "eng_count_pushdown": eng_count_pushdown,
     "eng_agg_pushdown": eng_agg_pushdown,
+    "eng_topk_pushdown": eng_topk_pushdown,
     "eng_codec_for": eng_codec_for,
     "eng_codec_prefix": eng_codec_prefix,
     "eng_codec_plain": eng_codec_plain,
@@ -2072,7 +2100,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ops_neardup_embeddings": ops_neardup_embeddings,
     "ops_ann_lsh_topk": ops_ann_lsh_topk,
     "ops_curation_pipeline": ops_curation_pipeline,
-    "ops_ivf_clusters": ops_ivf_clusters,
     "ops_ivf_topk": ops_ivf_topk,
     "ops_blob_meta": ops_blob_meta,
     "ops_frame_sample": ops_frame_sample,
@@ -2099,6 +2126,7 @@ ORACLES: dict[str, str] = {
     "eng_startswith_filter": ENG_STARTSWITH_SQL,
     "eng_count_pushdown": ENG_COUNT_SQL,
     "eng_agg_pushdown": ENG_AGG_SQL,
+    "eng_topk_pushdown": ENG_TOPK_SQL,
     "eng_codec_for": ENG_FOR_SQL,
     "eng_codec_prefix": ENG_PREFIX_SQL,
     "eng_codec_plain": ENG_PLAIN_SQL,
@@ -2125,7 +2153,6 @@ ORACLES: dict[str, str] = {
     "ops_neardup_embeddings": OPS_NEARDUP_SQL,
     "ops_ann_lsh_topk": OPS_ANN_TOPK_SQL,
     "ops_curation_pipeline": OPS_CURATION_SQL,
-    "ops_ivf_clusters": OPS_IVF_CLUSTERS_SQL,
     "ops_ivf_topk": OPS_IVF_TOPK_SQL,
     "ops_blob_meta": OPS_BLOB_SQL,
     "ops_frame_sample": OPS_FRAMES_SQL,
@@ -2143,10 +2170,12 @@ BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "eng_or_filter": eng_or_filter,
     # r6: audio pipeline — oracled locally; registry is at the 50-row cap
     "ops_audio_meta": ops_audio_meta,
-    # r6.2: slot went to eng_agg_pushdown; the LSH bucket histogram stays
-    # benched + locally oracled (ops_ann_lsh_topk exercises the same
-    # bucketing in the registry)
+    # r6.2: slots went to eng_agg_pushdown / eng_topk_pushdown; the LSH
+    # bucket histogram and IVF cluster summary stay benched + locally
+    # oracled (ops_ann_lsh_topk / ops_ivf_topk exercise the same bucketing
+    # and codebook in the registry)
     "ops_ann_lsh_buckets": ops_ann_lsh_buckets,
+    "ops_ivf_clusters": ops_ivf_clusters,
 }
 
 BENCH_ONLY_ORACLES: dict[str, str] = {
@@ -2155,4 +2184,5 @@ BENCH_ONLY_ORACLES: dict[str, str] = {
     "eng_or_filter": ENG_OR_SQL,
     "ops_audio_meta": OPS_AUDIO_SQL,
     "ops_ann_lsh_buckets": OPS_ANN_LSH_SQL,
+    "ops_ivf_clusters": OPS_IVF_CLUSTERS_SQL,
 }

@@ -391,3 +391,103 @@ def _check_minmax_expr(fuzz, expr):
 
 def test_minmax_matches_kleene_oracle(mm_fuzz):
     _check_minmax_expr(mm_fuzz)
+
+
+# ----------------------------------------------------------------- top-k
+
+from parquet_main_spark.operators.aggregates import scan_topk  # noqa: E402
+
+
+def _check_topk(spark, out, df, order_col, k, cols, pred=None, sdf=None,
+                descending=True):
+    got = sorted(scan_topk(spark, out, order_col, k, columns=cols,
+                           predicate=pred, descending=descending).collect())
+    o = (F.col(order_col).desc_nulls_last() if descending
+         else F.col(order_col).asc_nulls_last())
+    src = sdf if sdf is not None else df
+    want = sorted(src.select(*cols).orderBy(o).limit(k).collect())
+    assert got == want, (order_col, k, got[:3], want[:3])
+
+
+def test_topk_matches_spark(spark, mixed):
+    df, out = mixed
+    # id is unique -> deterministic row sets either direction
+    _check_topk(spark, out, df, "id", 17, ["id", "lang", "ts"])
+    _check_topk(spark, out, df, "id", 17, ["id", "s"], descending=False)
+    _check_topk(spark, out, df, "id", 9, ["id", "val"],
+                pred=Predicate("lang", "=", "en"),
+                sdf=df.filter(F.col("lang") == "en"))
+    _check_topk(spark, out, df, "ts", 5, ["id", "ts"])
+
+
+def test_topk_null_fill_when_k_exceeds_matches(spark, mixed):
+    df, out = mixed
+    sdf = df.filter(F.col("id") < 30)
+    got = scan_topk(spark, out, "flag", 30, columns=["id", "flag"],
+                    predicate=Predicate("id", "<", 30)).collect()
+    assert len(got) == 30  # includes NULL-flag rows to fill k
+    assert {r["id"] for r in got} == {r["id"] for r in sdf.collect()}
+
+
+def test_topk_float_nan_ranks_greatest(spark, mixed):
+    df, out = mixed
+    got = scan_topk(spark, out, "val", 12, columns=["id", "val"]).collect()
+    want = df.select("id", "val").orderBy(
+        F.col("val").desc_nulls_last()).limit(12).collect()
+    # NaN rows rank first in both engines; ids of NaN rows are a free set,
+    # so compare the multiset of values NaN-insensitively + row count
+    gv = sorted((math.isnan(r["val"]), r["val"]) for r in got
+                if not math.isnan(r["val"]))
+    wv = sorted((math.isnan(r["val"]), r["val"]) for r in want
+                if not math.isnan(r["val"]))
+    assert len(got) == len(want) == 12
+    assert gv == wv
+    assert sum(math.isnan(r["val"]) for r in got) == \
+        sum(math.isnan(r["val"]) for r in want)
+
+
+def test_topk_decodes_few_blocks(spark, mixed, monkeypatch):
+    """The stats-guided selection must not decode whole files: driving the
+    per-file kernel directly (scan_topk's workers run out-of-process, so
+    the spy must run driver-side), a k=5 top-id pass over a multi-block
+    bucket file restricts every _decode_file call to a small subset."""
+    import glob
+
+    from parquet_main_spark.operators.encode import (
+        gdicts_from_json, read_meta,
+    )
+
+    df, out = mixed
+    meta = read_meta(spark, out)
+    gd = gdicts_from_json(meta.get("gdicts", {}), meta["logical"])
+    seen = []
+    real = agg._decode_file
+
+    def spy(path, logical, cols, expr, gdicts, restrict_blocks=None, **kw):
+        seen.append(restrict_blocks)
+        return real(path, logical, cols, expr, gdicts,
+                    restrict_blocks=restrict_blocks, **kw)
+
+    monkeypatch.setattr(agg, "_decode_file", spy)
+    for path in glob.glob(f"{out}/blocks/bucket=*/*.parquet"):
+        list(agg._topk_one(meta["logical"], ["id", "lang"], "id", 5, True,
+                           None, gd, path))
+    assert seen, "no decode at all?"
+    # 4000 rows / 4 buckets / block_size 512 = 2 blocks per bucket; k=5
+    # needs exactly the one block holding the bucket's max ids
+    assert all(rb is not None and len(rb) == 1 for rb in seen), seen
+
+
+def test_topk_multi_dir(spark, tmp_path):
+    rows = [(i, (i * 37) % 5000) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    dirs = []
+    for j, part in enumerate((df.filter(F.col("id") < 2000),
+                              df.filter(F.col("id") >= 2000))):
+        d = str(tmp_path / f"t{j}")
+        encode_table(spark, part, EncodeConfig(
+            out_dir=d, bucket_key="id", buckets=2, block_size=128,
+            snapshot_id=f"t{j}"))
+        dirs.append(d)
+    _check_topk(spark, dirs, df, "id", 21, ["id", "v"])
+    _check_topk(spark, dirs, df, "id", 21, ["id", "v"], descending=False)
