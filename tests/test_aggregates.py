@@ -491,3 +491,73 @@ def test_topk_multi_dir(spark, tmp_path):
         dirs.append(d)
     _check_topk(spark, dirs, df, "id", 21, ["id", "v"])
     _check_topk(spark, dirs, df, "id", 21, ["id", "v"], descending=False)
+
+
+def _topk_oracle_vals(pdf, keep, col, k, descending):
+    """Multiset of the top-k order values (NULLS LAST, NaN greatest) the
+    SQL LIMIT would return — row identity is ambiguous under ties, the
+    value multiset is not."""
+    s = pdf[col][keep]
+    nn = s.dropna()
+    if col == "g":
+        key = nn.astype(float).map(lambda v: float("inf") if v != v else v)
+        order = key.sort_values(ascending=not descending).index
+    else:
+        order = nn.sort_values(ascending=not descending).index
+    vals = [nn[i] for i in order[:k]]
+    n_null = int(s.isna().sum())
+    short = max(0, min(k - len(nn), n_null))
+    return sorted(_canon_val(v) for v in vals), short
+
+
+def _canon_val(v):
+    import numbers
+
+    if isinstance(v, float) and v != v:
+        return (True, "nan")
+    if isinstance(v, numbers.Number) and not isinstance(v, bool):
+        return (False, repr(float(v)))
+    return (False, str(v))
+
+
+@settings(max_examples=120, deadline=None)
+@given(expr=_mm_trees(),
+       order_col=st.sampled_from(_FUZZ_COLS),
+       k=st.sampled_from([1, 3, 17, 600]),
+       descending=st.booleans())
+def _check_topk_expr(fuzz, expr, order_col, k, descending):
+    import pyarrow as pa
+
+    from test_predicate_property import _kleene
+
+    from parquet_main_spark.operators import aggregates as agg_mod
+
+    pdf, path, logical, gd = fuzz
+    cols = ["id", order_col] if order_col != "id" else ["id"]
+    batches = list(agg_mod._topk_one(logical, cols, order_col, k,
+                                     descending, expr, gd, path))
+    cand = pd.concat([b.to_pandas() for b in batches],
+                     ignore_index=True) if batches else \
+        pd.DataFrame(columns=cols)
+    if expr is None:
+        keep = np.ones(len(pdf), bool)
+    else:
+        keep, _ = _kleene(expr, pdf)
+    want_vals, want_nulls = _topk_oracle_vals(pdf, keep, order_col, k,
+                                              descending)
+    # candidates must contain the exact top-k after the global merge
+    s = cand[order_col]
+    nn = s.dropna()
+    if order_col == "g":
+        key = nn.astype(float).map(lambda v: float("inf") if v != v else v)
+        order = key.sort_values(ascending=not descending).index
+    else:
+        order = nn.sort_values(ascending=not descending).index
+    got_vals = sorted(_canon_val(v) for v in [nn[i] for i in order[:k]])
+    assert got_vals == want_vals, (order_col, k, descending, repr(expr))
+    # and enough NULL-ordered rows to fill k when non-nulls run short
+    assert int(s.isna().sum()) >= want_nulls, (order_col, k, repr(expr))
+
+
+def test_topk_matches_kleene_oracle(mm_fuzz):
+    _check_topk_expr(mm_fuzz)
