@@ -579,7 +579,9 @@ def eng_agg_pushdown(spark, sf_dir):
     ``lang`` — SELECT DISTINCT over 100 TB as kilobytes of dict pages per
     bucket file. The converter-sink/statistics machinery is the reference's
     Q7 + C6 line (ColumnWriterV1.java:113-139) taken to the aggregates a
-    columnar layout can answer without data pages."""
+    columnar layout can answer without data pages. The crossJoin in the
+    plan is ONE row x ONE row (two scalar aggregates stitched into one
+    result row) — bounded at any table size."""
     from .operators.aggregates import scan_distinct, scan_minmax
     from .operators.decode import Predicate
 
