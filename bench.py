@@ -147,6 +147,18 @@ def main() -> None:
         best = dt if best is None else min(best, dt)
     extra["agg_pushdown_sec"] = round(best, 3)
 
+    # top-k pushdown (r6): ORDER BY warc_ts DESC LIMIT 20 decodes ~one
+    # block per bucket file (stats-guided selection), not the table
+    from parquet_main_spark.operators.aggregates import scan_topk
+
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        scan_topk(spark, out, "warc_ts", 20, columns=["url", "warc_ts"]).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    extra["topk_sec"] = round(best, 3)
+
     # -- 3. relational + training-data queries from the contract -----------
     from parquet_main_spark.queries import BENCH_ONLY, QUERIES
 

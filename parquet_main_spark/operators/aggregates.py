@@ -623,6 +623,7 @@ def scan_topk(
     columns: list[str] | None = None,
     predicate=None,
     descending: bool = True,
+    max_driver_files: int = 16,
 ) -> DataFrame:
     """Top-k rows by one column (``ORDER BY order_col DESC|ASC LIMIT k``,
     NULLS LAST) with the order pushed into the scan: each bucket file
@@ -662,6 +663,20 @@ def scan_topk(
         else F.col(order_col).asc_nulls_last()
     if not units:
         return spark.createDataFrame([], out_schema).select(*columns)
+    if len(units) <= max_driver_files:
+        # lookup's trade: each file contributes ~a block of candidates, so
+        # a small file list decodes driver-side and only the final k-row
+        # merge runs as a (local-relation) job. The default is lower than
+        # the metadata-only operators' because candidates are data rows.
+        batches = [b for pth, di in units
+                   for b in _topk_one(logical, cols, order_col, k,
+                                      descending, expr, gdicts_list[di],
+                                      pth)]
+        if not batches:
+            return spark.createDataFrame([], out_schema).select(*columns)
+        tbl = pa.Table.from_batches(batches)
+        return spark.createDataFrame(tbl) \
+            .orderBy(order).limit(k).select(*columns)
     tasks = spark.createDataFrame(units, "path string, dir_id int") \
         .repartition(len(units))
     cand = tasks.mapInArrow(
