@@ -51,12 +51,14 @@ from .decode import (
     _bucket_candidates,
     _classify_blocks,
     _decode_file,
+    _dirs_and_metas,
     _expr_leaves,
     _list_block_files,
     _normalize_expr,
     _open_parquet,
     _prune_files_by_bucket,
     _prune_files_by_lineage,
+    _stat_cols,
     read_meta,
 )
 from .encode import STAT_PREFIX_BYTES, STAT_PREFIX_CHARS, gdicts_from_json
@@ -110,6 +112,21 @@ def _cons_bounds(ct: str, lo, hi):
             None if hi is None else bytes.fromhex(hi))
 
 
+def _narrow(vals: np.ndarray, ct: str) -> np.ndarray:
+    """Widen-stored dense values back to the codec type's dtype (dict blobs
+    and np.unique work in int64/float64; Arrow conversion needs the real
+    width), object dtype for the var-len lanes."""
+    if ct in NARROW_INT:
+        return vals.astype(NARROW_INT[ct])
+    if ct == "float32":
+        return vals.astype(np.float32)
+    if ct == "bool":
+        return vals.astype(np.bool_)
+    if vals.dtype != object and ct in ("string", "binary"):
+        return vals.astype(object)
+    return vals
+
+
 def _dense_scalar(v, ct: str) -> np.ndarray:
     dt = _NP_DTYPE.get(ct, object)
     a = np.empty(1, dtype=dt)
@@ -146,10 +163,7 @@ def _minmax_one(logical: dict[str, str], cols: list[str], expr, gdicts: dict,
             pc.equal(stats.column("col"), pa.scalar(c)),
             pc.greater_equal(stats.column("block_id"),
                              pa.scalar(0, pa.int32()))))
-        lo_name, hi_name = ("min_int", "max_int") \
-            if ct in INT_TYPES or ct == "bool" else \
-            (("min_num", "max_num") if ct in FLOAT_TYPES
-             else ("min_str", "max_str"))
+        lo_name, hi_name = _stat_cols(lt)
         rows = {k: sub.column(k).to_pylist()
                 for k in ("block_id", "n", "null_count",
                           lo_name, hi_name)}
@@ -239,19 +253,6 @@ def _minmax_tasks(logical: dict[str, str], cols: list[str], expr,
                             batch.column("dir_id").to_pylist()):
             yield _minmax_one(logical, cols, expr, gdicts_list[di],
                               path, schema)
-
-
-def _dirs_and_metas(spark: SparkSession, out_dir):
-    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
-    if not dirs:
-        raise ValueError("need at least one directory")
-    metas = [read_meta(spark, d) for d in dirs]
-    logical = metas[0]["logical"]
-    for d, m in zip(dirs[1:], metas[1:]):
-        if m["logical"] != logical:
-            raise ValueError(f"schema mismatch: {d} has {m['logical']}, "
-                             f"{dirs[0]} has {logical}")
-    return dirs, metas, logical
 
 
 def scan_minmax(
@@ -381,15 +382,7 @@ def _distinct_one(logical: dict[str, str], col: str, gdicts: dict,
         return None
     if parts:
         allv = parts[0] if len(parts) == 1 else np.concatenate(parts)
-        uniq = np.unique(allv)
-        if ct in NARROW_INT:
-            uniq = uniq.astype(NARROW_INT[ct])
-        elif ct == "float32":
-            uniq = uniq.astype(np.float32)
-        elif ct == "bool":
-            uniq = uniq.astype(np.bool_)
-        elif uniq.dtype != object and ct in ("string", "binary"):
-            uniq = uniq.astype(object)
+        uniq = _narrow(np.unique(allv), ct)
     else:
         uniq = np.empty(0, dtype=_NP_DTYPE.get(ct, object))
     mask = None
@@ -471,13 +464,8 @@ def scan_distinct(
     gvals = [gd[column] for gd in gdicts_list
              if column in gd and len(gd[column])]
     if gvals:
-        vals = np.unique(np.concatenate(gvals)) if len(gvals) > 1 else gvals[0]
-        if ct in NARROW_INT:
-            vals = vals.astype(NARROW_INT[ct])
-        elif ct == "float32":
-            vals = vals.astype(np.float32)
-        elif vals.dtype != object and ct in ("string", "binary"):
-            vals = vals.astype(object)
+        vals = _narrow(np.unique(np.concatenate(gvals))
+                       if len(gvals) > 1 else gvals[0], ct)
         tbl = pa.table({column: dense_to_arrow(vals, None, lt)})
         pieces.append(spark.createDataFrame(tbl).selectExpr(
             f"cast(`{column}` as {spark_type(lt)}) as `{column}`"))
@@ -518,10 +506,7 @@ def _topk_one(logical: dict[str, str], cols: list[str], order_col: str,
     sub = stats.filter(pc.and_(
         pc.equal(stats.column("col"), pa.scalar(order_col)),
         pc.greater_equal(stats.column("block_id"), pa.scalar(0, pa.int32()))))
-    lo_name, hi_name = ("min_int", "max_int") \
-        if ct in INT_TYPES or ct == "bool" else \
-        (("min_num", "max_num") if ct in FLOAT_TYPES
-         else ("min_str", "max_str"))
+    lo_name, hi_name = _stat_cols(lt)
     rows = {n: sub.column(n).to_pylist()
             for n in ("block_id", "n", "null_count", lo_name, hi_name)}
     cands = []       # (bound, bid, nonnull) — blocks with non-null values
@@ -531,7 +516,7 @@ def _topk_one(logical: dict[str, str], cols: list[str], order_col: str,
             continue
         nonnull = rows["n"][i] - rows["null_count"][i]
         if nonnull == 0:
-            null_only.append((None, b))
+            null_only.append(b)
             continue
         clo, chi = _cons_bounds(ct, rows[lo_name][i], rows[hi_name][i])
         cands.append(((chi if descending else clo), b, nonnull))
@@ -554,7 +539,6 @@ def _topk_one(logical: dict[str, str], cols: list[str], order_col: str,
             cum += nonnull
         else:
             rest.append((bound, b))
-    rest.extend(null_only)
     got = []
     kth = None
     if prefix:
@@ -585,6 +569,11 @@ def _topk_one(logical: dict[str, str], cols: list[str], order_col: str,
             more.add(b)
         elif not descending and not _gt(bound, kth):
             more.add(b)
+    if kth is None:
+        # NULL-ordered rows rank last: they reach the merge only when the
+        # file cannot fill k from non-null rows — otherwise the all-null
+        # blocks' data pages stay on disk
+        more.update(null_only)
     if more:
         yield from _decode_file(path, logical, cols, expr, gdicts,
                                 restrict_blocks=more)

@@ -1205,6 +1205,22 @@ def scan(
     )
 
 
+
+def _dirs_and_metas(spark: SparkSession, out_dir):
+    """Normalize a str-or-list table argument into (dirs, metas, logical)
+    with the shared schema checked — the common preamble of every
+    multi-directory surface (lookup, scan_many, the aggregate pushdowns)."""
+    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
+    if not dirs:
+        raise ValueError("need at least one directory")
+    metas = [read_meta(spark, d) for d in dirs]
+    logical = metas[0]["logical"]
+    for d, m in zip(dirs[1:], metas[1:]):
+        if m["logical"] != logical:
+            raise ValueError(f"schema mismatch: {d} has {m['logical']}, "
+                             f"{dirs[0]} has {logical}")
+    return dirs, metas, logical
+
 def lookup(
     spark: SparkSession,
     out_dir: "str | list[str]",
@@ -1235,15 +1251,7 @@ def lookup(
     distributed scan_many job, never a per-dir job loop."""
     from .encode import gdicts_from_json
 
-    dirs = [out_dir] if isinstance(out_dir, str) else list(out_dir)
-    if not dirs:
-        raise ValueError("lookup needs at least one directory")
-    metas = [read_meta(spark, d) for d in dirs]
-    logical: dict[str, str] = metas[0]["logical"]
-    for d, m in zip(dirs[1:], metas[1:]):
-        if m["logical"] != logical:
-            raise ValueError(f"schema mismatch: {d} has {m['logical']}, "
-                             f"{dirs[0]} has {logical}")
+    dirs, metas, logical = _dirs_and_metas(spark, out_dir)
     raw = _as_expr(predicate)
     if raw is None:
         raise ValueError("lookup needs a predicate; use scan for full reads")
@@ -1345,18 +1353,9 @@ def scan_many(
     loop — thousands-node plans and a driver planning stall). All
     directories must share the logical schema; per-directory global
     dictionaries are carried per task row."""
-    if not out_dirs:
-        raise ValueError("scan_many needs at least one directory")
     from .encode import gdicts_from_json
 
-    metas = [read_meta(spark, d) for d in out_dirs]
-    logical: dict[str, str] = metas[0]["logical"]
-    for d, m in zip(out_dirs[1:], metas[1:]):
-        if m["logical"] != logical:
-            raise ValueError(
-                f"schema mismatch: {d} has {m['logical']}, "
-                f"{out_dirs[0]} has {logical}"
-            )
+    out_dirs, metas, logical = _dirs_and_metas(spark, out_dirs)
     gdicts_list = [gdicts_from_json(m.get("gdicts", {}), logical) for m in metas]
     raw = _as_expr(predicate)
     expr = _normalize_expr(raw, logical)

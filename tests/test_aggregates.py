@@ -399,9 +399,10 @@ from parquet_main_spark.operators.aggregates import scan_topk  # noqa: E402
 
 
 def _check_topk(spark, out, df, order_col, k, cols, pred=None, sdf=None,
-                descending=True):
+                descending=True, **kw):
     got = sorted(scan_topk(spark, out, order_col, k, columns=cols,
-                           predicate=pred, descending=descending).collect())
+                           predicate=pred, descending=descending,
+                           **kw).collect())
     o = (F.col(order_col).desc_nulls_last() if descending
          else F.col(order_col).asc_nulls_last())
     src = sdf if sdf is not None else df
@@ -411,8 +412,13 @@ def _check_topk(spark, out, df, order_col, k, cols, pred=None, sdf=None,
 
 def test_topk_matches_spark(spark, mixed):
     df, out = mixed
-    # id is unique -> deterministic row sets either direction
+    # id is unique -> deterministic row sets either direction; the
+    # max_driver_files=0 runs force the distributed mapInArrow branch
     _check_topk(spark, out, df, "id", 17, ["id", "lang", "ts"])
+    _check_topk(spark, out, df, "id", 17, ["id", "lang", "ts"],
+                max_driver_files=0)
+    _check_topk(spark, out, df, "id", 9, ["id", "s", "d128"],
+                descending=False, max_driver_files=0)
     _check_topk(spark, out, df, "id", 17, ["id", "s"], descending=False)
     _check_topk(spark, out, df, "id", 9, ["id", "val"],
                 pred=Predicate("lang", "=", "en"),
