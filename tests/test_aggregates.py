@@ -567,3 +567,17 @@ def _check_topk_expr(fuzz, expr, order_col, k, descending):
 
 def test_topk_matches_kleene_oracle(mm_fuzz):
     _check_topk_expr(mm_fuzz)
+
+
+def test_aggregates_over_uri_table(spark, mixed):
+    """The aggregate pushdowns accept URI table paths like scan does
+    (file:// is the scheme the sandbox can serve): listing, meta, stats
+    reads and candidate decodes all resolve through the same path
+    machinery, driver and distributed branches both."""
+    df, out = mixed
+    uri = f"file://{out}"
+    _check_minmax(spark, uri, df, ["id", "s", "val"])
+    _check_minmax(spark, uri, df, ["id"], max_driver_files=0)
+    _check_distinct(spark, uri, df, "lang")
+    _check_topk(spark, uri, df, "id", 7, ["id", "lang"])
+    _check_topk(spark, uri, df, "id", 7, ["id", "lang"], max_driver_files=0)
