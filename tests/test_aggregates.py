@@ -581,3 +581,23 @@ def test_aggregates_over_uri_table(spark, mixed):
     _check_distinct(spark, uri, df, "lang")
     _check_topk(spark, uri, df, "id", 7, ["id", "lang"])
     _check_topk(spark, uri, df, "id", 7, ["id", "lang"], max_driver_files=0)
+
+
+def test_topk_orders_by_decimal128_and_binary(spark, mixed):
+    """The dense-domain k-th comparison must hold for the exotic bound
+    lanes: decimal128 (16-byte order-preserving keys) and binary (hex
+    stats, truncate-and-increment max bounds that are never exact)."""
+    df, out = mixed
+    for order_col, desc in (("d128", True), ("d128", False),
+                            ("blob", True), ("blob", False)):
+        got = sorted(
+            r[order_col]
+            for r in scan_topk(spark, out, order_col, 11,
+                               columns=["id", order_col],
+                               descending=desc).collect())
+        o = (F.col(order_col).desc_nulls_last() if desc
+             else F.col(order_col).asc_nulls_last())
+        want = sorted(r[order_col] for r in
+                      df.select("id", order_col).orderBy(o).limit(11)
+                      .collect())
+        assert got == want, (order_col, desc)
