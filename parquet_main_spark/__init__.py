@@ -30,10 +30,18 @@ def __getattr__(name):
 
         return getattr(_e, name)
     if name in ("Predicate", "And", "Or", "Not", "scan", "scan_many",
-                "scan_count", "pruning_report"):
+                "scan_count", "pruning_report", "lookup"):
         from .operators import decode as _d
 
         return getattr(_d, name)
+    if name in ("scan_minmax", "scan_distinct", "scan_topk"):
+        from .operators import aggregates as _a
+
+        return getattr(_a, name)
+    if name in ("verify_table", "repair_buckets"):
+        from .operators import verify as _v
+
+        return getattr(_v, name)
     if name == "get_spark":
         from .session import get_spark
 
