@@ -601,3 +601,32 @@ def test_topk_orders_by_decimal128_and_binary(spark, mixed):
                       df.select("id", order_col).orderBy(o).limit(11)
                       .collect())
         assert got == want, (order_col, desc)
+
+
+def test_aggregates_prune_file_list_by_bucket_hash(spark, mixed, monkeypatch):
+    """An equality on the bucket key restricts the aggregate operators'
+    FILE lists driver-side (the point-lookup prune, decode._bucket_candidates)
+    — the kernels must open exactly one bucket file, not all four."""
+    df, out = mixed
+    calls = []
+    real_mm, real_tk = agg._minmax_one, agg._topk_one
+
+    def spy_mm(logical, cols, expr, gdicts, path, schema):
+        calls.append(path)
+        return real_mm(logical, cols, expr, gdicts, path, schema)
+
+    def spy_tk(logical, cols, order_col, k, descending, expr, gdicts, path):
+        calls.append(path)
+        return real_tk(logical, cols, order_col, k, descending, expr,
+                       gdicts, path)
+
+    monkeypatch.setattr(agg, "_minmax_one", spy_mm)
+    monkeypatch.setattr(agg, "_topk_one", spy_tk)
+    pred = Predicate("id", "=", 1234)
+    _check_minmax(spark, out, df, ["lang", "ts"], pred=pred,
+                  sdf=df.filter(F.col("id") == 1234))
+    assert len(calls) == 1, calls
+    calls.clear()
+    got = scan_topk(spark, out, "id", 1, columns=["id", "lang"],
+                    predicate=pred).collect()
+    assert len(calls) == 1 and len(got) == 1 and got[0]["id"] == 1234
