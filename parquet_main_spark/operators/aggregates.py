@@ -30,7 +30,11 @@ Statistics are ColumnWriterV1.java:113-139):
 
 Both run as one task per bucket file (the scan_count shape): partial
 results per file, combined by a tiny Spark aggregation — no shuffle of
-anything table-proportional at any scale.
+anything table-proportional at any scale. Unlike scan, task units are
+whole files (no sub-bucket row-group splitting): the work per file is
+metadata plus a bounded candidate decode, so even a skewed giant bucket
+costs one stats read, not a file decode — the split machinery would buy
+nothing here.
 """
 
 from __future__ import annotations
