@@ -58,6 +58,7 @@ from .decode import (
     _dirs_and_metas,
     _expr_leaves,
     _list_block_files,
+    _tasks_df,
     _normalize_expr,
     _open_parquet,
     _prune_files_by_bucket,
@@ -313,8 +314,7 @@ def scan_minmax(
                                gdicts_list[di], p, schema)
                    for p, di in units]
         return spark.createDataFrame(pa.Table.from_batches(batches)).agg(*aggs)
-    tasks = spark.createDataFrame(units, "path string, dir_id int") \
-        .repartition(len(units))
+    tasks = _tasks_df(spark, units, len(units), "path string, dir_id int")
     per_file = tasks.mapInArrow(
         partial(_minmax_tasks, logical, list(columns), expr, gdicts_list),
         out_schema)
@@ -460,8 +460,7 @@ def scan_distinct(
             pieces.append(spark.createDataFrame(
                 pa.Table.from_batches(batches)))
     elif units:
-        tasks = spark.createDataFrame(units, "path string, dir_id int") \
-            .repartition(len(units))
+        tasks = _tasks_df(spark, units, len(units), "path string, dir_id int")
         pieces.append(tasks.mapInArrow(
             partial(_distinct_tasks, logical, column, gdicts_list),
             out_schema))
@@ -670,8 +669,7 @@ def scan_topk(
         tbl = pa.Table.from_batches(batches)
         return spark.createDataFrame(tbl) \
             .orderBy(order).limit(k).select(*columns)
-    tasks = spark.createDataFrame(units, "path string, dir_id int") \
-        .repartition(len(units))
+    tasks = _tasks_df(spark, units, len(units), "path string, dir_id int")
     cand = tasks.mapInArrow(
         partial(_topk_tasks, logical, cols, order_col, k, descending,
                 expr, gdicts_list),

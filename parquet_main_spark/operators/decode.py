@@ -1153,6 +1153,20 @@ def _scan_parallelism(spark: SparkSession, units: list, total_bytes: int,
                              spark.sparkContext.defaultParallelism)
 
 
+def _tasks_df(spark: SparkSession, units: list[tuple], nparts: int,
+              schema: str = "path string, rg_lo int, rg_hi int") -> DataFrame:
+    """Task-list DataFrame already split into ``nparts`` partitions
+    DRIVER-side (sc.parallelize slices the list locally): the previous
+    ``createDataFrame(...).repartition(n)`` ran a 1-task map stage plus a
+    round-robin Exchange before any decode task could start — a whole extra
+    stage of pure fixed cost per scan (guide §2.4: remove shuffles
+    outright; the task list is metadata, there is nothing to shuffle).
+    Shared by every task-fan-out surface (scan, scan_many, scan_count,
+    pruning_report, the aggregate pushdowns, verify)."""
+    rdd = spark.sparkContext.parallelize(units, max(1, nparts))
+    return spark.createDataFrame(rdd, schema)
+
+
 def scan(
     spark: SparkSession,
     out_dir: str,
@@ -1197,9 +1211,7 @@ def scan(
     if not units:
         return spark.createDataFrame([], out_schema)
     nparts = _scan_parallelism(spark, units, sum(s for _, s in files), split_bytes)
-    tasks = spark.createDataFrame(
-        units, "path string, rg_lo int, rg_hi int"
-    ).repartition(nparts)
+    tasks = _tasks_df(spark, units, nparts)
     return tasks.mapInArrow(
         partial(_decode_tasks, logical, list(columns), expr, gdicts), out_schema
     )
@@ -1374,9 +1386,8 @@ def scan_many(
     if not units:
         return spark.createDataFrame([], out_schema)
     nparts = _scan_parallelism(spark, units, total_bytes, split_bytes)
-    tasks = spark.createDataFrame(
-        units, "path string, dir_id int, rg_lo int, rg_hi int"
-    ).repartition(nparts)
+    tasks = _tasks_df(spark, units, nparts,
+                      "path string, dir_id int, rg_lo int, rg_hi int")
     return tasks.mapInArrow(
         partial(_decode_tasks_multi, logical, list(columns), expr, gdicts_list),
         out_schema,
@@ -1419,7 +1430,7 @@ def scan_count(spark: SparkSession, out_dir: str, predicate=None,
                     schema=pa.schema([("c", pa.int64())]),
                 )
 
-    tasks = spark.createDataFrame([(p,) for p in files], "path string").repartition(len(files))
+    tasks = _tasks_df(spark, [(p,) for p in files], len(files), "path string")
     rows = tasks.mapInArrow(count_tasks, "c long").agg(F.sum("c").alias("n")).collect()
     return int(rows[0]["n"] or 0)
 
@@ -1479,8 +1490,7 @@ def pruning_report(spark: SparkSession, out_dir: str, predicate) -> dict[str, in
                                       ("allm", pa.int64())]),
                 )
 
-    tasks = spark.createDataFrame(
-        [(p,) for p in files], "path string").repartition(len(files))
+    tasks = _tasks_df(spark, [(p,) for p in files], len(files), "path string")
     row = (tasks.mapInArrow(report_tasks, "total long, kept long, allm long")
            .agg(F.sum("total").alias("t"), F.sum("kept").alias("k"),
                 F.sum("allm").alias("a")).collect()[0])

@@ -1274,13 +1274,14 @@ def gdicts_from_json(d: dict[str, list], logical: dict[str, str]) -> dict[str, n
 
 
 def read_meta(spark: SparkSession, out_dir: str) -> dict:
-    _, _, meta_path = _paths(out_dir)
-    row = spark.read.parquet(meta_path).collect()[0]
-    d = row.asDict()
-    return {
-        "snapshot_id": d["snapshot_id"],
-        "logical": json.loads(d["logical_json"]),
-        "plan": json.loads(d["plan_json"]),
-        "config": json.loads(d["config_json"]),
-        "gdicts": json.loads(d.get("gdict_json") or "{}"),
-    }
+    """Meta table read driver-side with pyarrow (one tiny file, local or
+    FS-URI): the previous ``spark.read.parquet(...).collect()`` scheduled a
+    whole Spark job — footer read, schema inference, one task — as pure
+    fixed cost on EVERY scan/lookup/aggregate call (~0.2 s each on the
+    bench, guide §5 "the driver should do almost no data work" cuts both
+    ways: metadata THIS small belongs on the driver, not in a job). The
+    ``spark`` argument stays for API compatibility; planning no longer
+    needs it."""
+    from ..sources.datasource import _read_meta
+
+    return _read_meta(out_dir)

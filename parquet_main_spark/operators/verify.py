@@ -205,8 +205,10 @@ def verify_table(spark: SparkSession, out_dir: str,
                 )
 
     if files:
-        rows = (spark.createDataFrame([(p,) for p in files], "path string")
-                .repartition(len(files))
+        from .decode import _tasks_df
+
+        rows = (_tasks_df(spark, [(p,) for p in files], len(files),
+                          "path string")
                 .mapInArrow(tasks,
                             "path string, n_cells long, content_sha string, "
                             "bad_json string")

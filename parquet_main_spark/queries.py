@@ -1254,10 +1254,15 @@ FROM documents
 """
 
 
+#: shingle expression over a pre-split words column ``w``: split(text) is
+#: evaluated ONCE per row (a prior form inlined split() inside the transform
+#: lambda, where codegen subexpression elimination does not reach — each
+#: shingle element re-split the document, O(words^2) per doc; measured 10x
+#: on shingle generation at sf1.0, guide §1.2 "per-task work")
 _SHINGLE_EXPR = (
-    "CASE WHEN size(split(text, '\\\\s+')) >= 3 THEN "
-    "transform(sequence(0, size(split(text, '\\\\s+')) - 3), "
-    "i -> concat_ws(' ', split(text, '\\\\s+')[i], split(text, '\\\\s+')[i+1], split(text, '\\\\s+')[i+2])) "
+    "CASE WHEN size(w) >= 3 THEN "
+    "transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) "
     "ELSE array() END"
 )
 
@@ -1273,6 +1278,7 @@ def _shingles(spark, sf_dir) -> DataFrame:
     # small single-file inputs arrive as ONE partition; spread the shingle
     # explosion + hashing across cores before the flatMap
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = d.withColumn("w", F.split(F.col("text"), r"\s+"))
     return d.select("doc_id", F.explode(F.expr(_SHINGLE_EXPR)).alias("shingle"))
 
 
@@ -1294,7 +1300,12 @@ FROM ({_SHINGLE_SQL}) GROUP BY doc_id
 def ops_minhash_bands(spark, sf_dir):
     """MinHash-LSH bucketing: 16 portable minhashes (min over md5(shingle:k)),
     4 bands of 4 -> band_hash; docs sharing (band, band_hash) are candidates."""
-    sh = _shingles(spark, sf_dir).dropDuplicates(["doc_id", "shingle"])
+    # NO dropDuplicates before the min-agg: min() is duplicate-insensitive,
+    # so deduping (doc_id, shingle) first only added two Exchanges (the
+    # dedup hash-agg + a re-shuffle back to doc_id); without it the groupBy
+    # below reuses _shingles' doc_id partitioning — a single-Exchange plan
+    # (guide §2.4). Results are identical by construction.
+    sh = _shingles(spark, sf_dir)
     # all 16 minhashes in ONE aggregation pass (no 16x row explosion before
     # the shuffle — partial aggregation does the min map-side)
     mh = sh.groupBy("doc_id").agg(
