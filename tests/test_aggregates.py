@@ -484,6 +484,29 @@ def test_topk_decodes_few_blocks(spark, mixed, monkeypatch):
     assert all(rb is not None and len(rb) == 1 for rb in seen), seen
 
 
+def test_topk_ships_at_most_k_rows_per_file(spark, mixed):
+    """Per-file candidate truncation: even when the order column is
+    scattered across every block (val = i % 997, so no block bound can be
+    ruled out by the k-th value and phase 2 decodes them all), _topk_one
+    must yield at most k rows per file — the global merge only ever needs
+    a file's own top-k."""
+    import glob
+
+    from parquet_main_spark.operators.encode import (
+        gdicts_from_json, read_meta,
+    )
+
+    df, out = mixed
+    meta = read_meta(spark, out)
+    gd = gdicts_from_json(meta.get("gdicts", {}), meta["logical"])
+    k = 5
+    for path in glob.glob(f"{out}/blocks/bucket=*/*.parquet"):
+        n = sum(b.num_rows
+                for b in agg._topk_one(meta["logical"], ["id", "val"],
+                                       "val", k, True, None, gd, path))
+        assert 0 < n <= k, (path, n)
+
+
 def test_topk_multi_dir(spark, tmp_path):
     rows = [(i, (i * 37) % 5000) for i in range(4000)]
     df = spark.createDataFrame(rows, "id long, v long")
