@@ -921,7 +921,10 @@ def _bucket_candidates(expr, meta: dict) -> "set[int] | None":
 
 
 def _prune_files_by_bucket(files: list, cand: "set[int] | None") -> list:
-    """Restrict a (path, size) or path list to the candidate bucket dirs."""
+    """Restrict a (path, size) or path list to the candidate bucket dirs.
+    A file whose path lacks the ``bucket=N`` component is KEPT — the same
+    conservative direction as _prune_files_by_lineage; dropping it would
+    turn any future layout drift into silent row loss on point lookups."""
     if cand is None:
         return files
 
@@ -929,7 +932,7 @@ def _prune_files_by_bucket(files: list, cand: "set[int] | None") -> list:
         return f[0] if isinstance(f, tuple) else f
 
     return [f for f in files
-            if (b := bucket_id_of_path(_path(f))) is not None and b in cand]
+            if (b := bucket_id_of_path(_path(f))) is None or b in cand]
 
 
 def _lineage_stats_table(out_dir: str, cols: "set[str]") -> "pa.Table | None":

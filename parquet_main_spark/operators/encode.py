@@ -1114,7 +1114,15 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         sc = spark.sparkContext
 
         def _run_encode():
-            deadline = _time.monotonic() + 5
+            # Submission waits until the stats job actually HOLDS task slots
+            # (or the meta is already written): on a FIFO scheduler an
+            # encode job submitted first would fill every slot with
+            # meta-polling reduce tasks and starve the stats job until the
+            # _await_meta timeout failed the run. The deadline is therefore
+            # tied to that timeout (not a short grace period that could
+            # expire during slow driver-side sample prep) — a dead stats
+            # pass sets `aborted` long before it matters.
+            deadline = _time.monotonic() + 240
             while (_time.monotonic() < deadline
                    and not meta_written.is_set()
                    and not aborted.is_set()

@@ -81,6 +81,75 @@ def test_rle_compresses_runs():
     assert len(rle.encode(v, 6)) < 600  # 50 runs * ~12B
 
 
+def _encode_rle_v1(values: np.ndarray, width: int) -> bytes:
+    """Hand-written pre-round-6 v1 layout (u8 width with bit 7 CLEAR, u32 n,
+    then repeated [varint(count<<1|is_packed), payload]) — the reference
+    encoder for the legacy-decode test below; mirrors the round-5 segment
+    decomposition (RLE for runs >= MIN_RLE_RUN, bit-packed stretches
+    between)."""
+    import struct
+
+    from parquet_main_spark.codecs.bitpack import pack_bits
+
+    def varint(x: int) -> bytes:
+        out = bytearray()
+        while True:
+            b = x & 0x7F
+            x >>= 7
+            if x:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                return bytes(out)
+
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    n = len(v)
+    vbytes = (width + 7) // 8
+    body = bytearray(struct.pack("<BI", width, n))
+    if n == 0 or width == 0:
+        return bytes(body)
+    change = np.flatnonzero(v[1:] != v[:-1])
+    starts = np.concatenate(([0], change + 1))
+    ends = np.concatenate((change + 1, [n]))
+    lengths = ends - starts
+    is_rle = lengths >= rle.MIN_RLE_RUN
+    i = 0
+    while i < len(starts):
+        if is_rle[i]:
+            body += varint(int(lengths[i]) << 1)
+            body += int(v[starts[i]]).to_bytes(vbytes, "little")
+            i += 1
+        else:
+            j = i
+            while j < len(starts) and not is_rle[j]:
+                j += 1
+            s, e = int(starts[i]), int(ends[j - 1])
+            body += varint(((e - s) << 1) | 1)
+            body += pack_bits(v[s:e], width)
+            i = j
+    return bytes(body)
+
+
+@pytest.mark.parametrize("width", [1, 4, 11, 20])
+def test_rle_v1_legacy_layout_decodes(width):
+    """Pre-round-6 tables carry v1 (varint-header) RLE buffers; decode()
+    must keep reading them bit-exactly even though encode() now always
+    writes v2 — no current fixture exercises v1, so this test IS the
+    coverage (ADVICE r6)."""
+    for name in ["empty", "one", "constant", "runs", "sequential"]:
+        v = (np.abs(INT_FIXTURES[name]) % (2 ** width)).astype(np.uint64)
+        blob = _encode_rle_v1(v, width)
+        assert not (blob[0] & 0x80), "v1 buffers keep bit 7 clear"
+        np.testing.assert_array_equal(rle.decode(blob), v)
+    # many short runs: a long alternating stretch becomes one packed
+    # segment in v1 exactly as in v2's fallback
+    v = np.arange(5000, dtype=np.uint64) % 2
+    np.testing.assert_array_equal(rle.decode(_encode_rle_v1(v, width)), v)
+    # >4 RLE segments exercises the vectorized RLE materialization lane
+    v = np.repeat(np.arange(9, dtype=np.uint64) % (2 ** width), 64)
+    np.testing.assert_array_equal(rle.decode(_encode_rle_v1(v, width)), v)
+
+
 STR_FIXTURES = {
     "empty": np.array([], dtype=object),
     "one": np.array(["hello"], dtype=object),

@@ -1693,6 +1693,20 @@ def test_xxh64_matches_spark(spark):
     for r in df.select("v", F.xxhash64("v").alias("h")).collect():
         assert spark_xxhash64(r["v"], "int32") == r["h"]
 
+    # int8/int16 are in HASHABLE_KEY_TYPES (they gate driver-side bucket
+    # pruning): prove Spark hashes byte/short through the same 32-bit mix
+    # the port assumes (ADVICE r6)
+    tins = [0, 1, -1, 127, -128] + [rng.randint(-128, 127) for _ in range(8)]
+    df = spark.createDataFrame([(v,) for v in tins], "v tinyint")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"], "int8") == r["h"]
+
+    smalls = [0, 1, -1, 32767, -32768] + [rng.randint(-2**15, 2**15 - 1)
+                                          for _ in range(8)]
+    df = spark.createDataFrame([(v,) for v in smalls], "v smallint")
+    for r in df.select("v", F.xxhash64("v").alias("h")).collect():
+        assert spark_xxhash64(r["v"], "int16") == r["h"]
+
     bins = [b"", b"\x00", b"abc", bytes(rng.getrandbits(8) for _ in range(37))]
     df = spark.createDataFrame([(v,) for v in bins], "v binary")
     for r in df.select("v", F.xxhash64("v").alias("h")).collect():
