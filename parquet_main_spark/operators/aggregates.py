@@ -354,20 +354,24 @@ def _distinct_one(logical: dict[str, str], col: str, gdicts: dict,
             continue  # other columns' row groups: never read
         tbl = f.read_row_group(rg, columns=read_cols)
         tbl = tbl.filter(pc.equal(tbl.column("col"), pa.scalar(col)))
-        for i in range(tbl.num_rows):
-            bid = tbl.column("block_id")[i].as_py()
+        # batch to_pylist conversion, same idiom as _minmax_one (the prior
+        # per-row `[i].as_py()` loop was the one metadata walk still paying
+        # per-element Arrow->Python overhead — VERDICT r6)
+        bids = tbl.column("block_id").to_pylist()
+        ncs = tbl.column("null_count").to_pylist()
+        codecs = tbl.column("codec").to_pylist()
+        dicts = tbl.column("dict").to_pylist()
+        for i, bid in enumerate(bids):
             if bid == -1:
-                bucket_dict = dict_codec.load_dict(
-                    tbl.column("dict")[i].as_py())
+                bucket_dict = dict_codec.load_dict(dicts[i])
                 continue
-            if tbl.column("null_count")[i].as_py() > 0:
+            if ncs[i] > 0:
                 has_null = True
-            codec = tbl.column("codec")[i].as_py()
+            codec = codecs[i]
             if codec == "bdict" or codec == "gdict":
                 continue  # bucket dict / driver-side gdict covers it
             if codec == "dict":
-                parts.append(dict_codec.load_dict(
-                    tbl.column("dict")[i].as_py()))
+                parts.append(dict_codec.load_dict(dicts[i]))
             else:
                 needs.add(bid)
     if bucket_dict is not None:

@@ -1301,10 +1301,10 @@ def ops_minhash_bands(spark, sf_dir):
     """MinHash-LSH bucketing: 16 portable minhashes (min over md5(shingle:k)),
     4 bands of 4 -> band_hash; docs sharing (band, band_hash) are candidates."""
     # NO dropDuplicates before the min-agg: min() is duplicate-insensitive,
-    # so deduping (doc_id, shingle) first only added two Exchanges (the
-    # dedup hash-agg + a re-shuffle back to doc_id); without it the groupBy
-    # below reuses _shingles' doc_id partitioning — a single-Exchange plan
-    # (guide §2.4). Results are identical by construction.
+    # so deduping (doc_id, shingle) first only added an extra aggregation
+    # pass over every shingle row (plans/r07/ops_minhash_bands_*.txt; when
+    # shuffle.partitions differs from _shingles' partition count it would
+    # also add an Exchange). Results are identical by construction.
     sh = _shingles(spark, sf_dir)
     # all 16 minhashes in ONE aggregation pass (no 16x row explosion before
     # the shuffle — partial aggregation does the min map-side)
