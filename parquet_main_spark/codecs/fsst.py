@@ -55,19 +55,24 @@ _NONE = 0xFFFF
 #: cached parity masks for _take_mask: allocating + filling a fresh `even`
 #: array per call was ~35% of the whole compress loop (it runs once per
 #: chunk per iteration); grown on demand so sample-sized (> CHUNK) inputs
-#: from _build_tables still hit the cache
-_EVEN = np.zeros(0, dtype=bool)
-_ODD = np.zeros(0, dtype=bool)
+#: from _build_tables still hit the cache. ONE tuple global so concurrent
+#: compress calls in a threaded host process always observe a consistent,
+#: fully-built (even, odd) pair (a single reference assignment is atomic
+#: under the GIL; two separate globals are not).
+_PARITY: tuple[np.ndarray, np.ndarray] = (np.zeros(0, dtype=bool),
+                                          np.zeros(0, dtype=bool))
 
 
 def _parity_masks(n: int) -> tuple[np.ndarray, np.ndarray]:
-    global _EVEN, _ODD
-    if len(_EVEN) < n:
+    global _PARITY
+    even, odd = _PARITY
+    if len(even) < n:
         size = max(n, CHUNK)
-        _EVEN = np.zeros(size, dtype=bool)
-        _EVEN[::2] = True
-        _ODD = ~_EVEN
-    return _EVEN[:n], _ODD[:n]
+        even = np.zeros(size, dtype=bool)
+        even[::2] = True
+        odd = ~even
+        _PARITY = (even, odd)
+    return even[:n], odd[:n]
 
 
 def _take_mask(match: np.ndarray) -> np.ndarray:

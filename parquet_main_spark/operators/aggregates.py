@@ -556,17 +556,40 @@ def _topk_one(logical: dict[str, str], cols: list[str], order_col: str,
             cum += nonnull
         else:
             rest.append((bound, b))
-    got = []
+    # candidates are FOLDED to the file's top-k as they decode (streamed —
+    # a scattered order column can force phase 2 to decode the whole file,
+    # and buffering it unfolded would hold table-sized state in one task):
+    # a list of batches is compacted through _topk_truncate whenever it
+    # grows past max(4096, 4k) rows, so peak memory is O(fold threshold),
+    # not O(file)
+    got: list[pa.RecordBatch] = []
+    got_rows = 0
+    fold_at = max(4096, 4 * k)
+
+    def fold() -> None:
+        nonlocal got, got_rows
+        t = _topk_truncate(pa.Table.from_batches(got), order_col, ct, k,
+                           descending)
+        got = list(t.to_batches())
+        got_rows = t.num_rows
+
     kth = None
     if prefix:
         for db in _decode_file(path, logical, cols, expr, gdicts,
                                restrict_blocks={b for _, b in prefix}):
             got.append(db)
+            got_rows += db.num_rows
+            if got_rows > fold_at:
+                fold()
+    if got:
+        fold()
     # k-th best among decoded non-null order values bounds phase 2 — in the
     # DENSE domain (int micros for timestamps, key bytes for decimal128),
     # the domain the conservative bounds live in; float NaN maps to +inf
-    # for ranking (NaN sorts greatest; NaN blocks have None bounds, so the
-    # sentinel can never wrongly prune a NaN-holding block)
+    # for the BOUND comparison (NaN ranks greatest; NaN blocks have None
+    # bounds, so the sentinel can never wrongly prune a NaN-holding block).
+    # Folding first is exact: the truncated set keeps the k best rows, so
+    # its k-th best equals the k-th best of everything decoded.
     idx = cols.index(order_col)
     arrs = [arrow_to_dense(db.column(idx), lt)[0] for db in got]
     vals = np.concatenate(arrs) if arrs else np.empty(0, dtype=object)
@@ -591,30 +614,40 @@ def _topk_one(logical: dict[str, str], cols: list[str], order_col: str,
         # blocks' data pages stay on disk
         more.update(null_only)
     if more:
-        got.extend(_decode_file(path, logical, cols, expr, gdicts,
-                                restrict_blocks=more))
+        for db in _decode_file(path, logical, cols, expr, gdicts,
+                               restrict_blocks=more):
+            got.append(db)
+            got_rows += db.num_rows
+            if got_rows > fold_at:
+                fold()
     if not got:
         return
-    tbl = pa.Table.from_batches(got)
-    if tbl.num_rows > k:
-        import pyarrow.compute as _pc
+    fold()
+    yield from got
 
-        order = "descending" if descending else "ascending"
-        key = order_col
-        if ct in FLOAT_TYPES:
-            # Arrow sorts NaN after ALL non-NaN values either direction;
-            # the engine ranks NaN greatest (matching Spark and the k-th
-            # bound above) — sort on a NaN->+inf key instead
-            key = "__pms_topk_key"
-            c = tbl.column(order_col)
-            tbl = tbl.append_column(key, _pc.if_else(
-                _pc.is_nan(c), pa.scalar(float("inf"), c.type), c))
-        idxs = _pc.sort_indices(
-            tbl, sort_keys=[(key, order)], null_placement="at_end")
-        tbl = tbl.take(idxs.slice(0, k))
-        if key != order_col:
-            tbl = tbl.drop_columns([key])
-    yield from tbl.to_batches()
+
+def _topk_truncate(tbl: pa.Table, order_col: str, ct: str, k: int,
+                   descending: bool) -> pa.Table:
+    """Truncate a candidate table to its k best rows under the engine's
+    rank order: NULLS LAST both directions, and NaN above EVERY non-null
+    value including +inf (Spark's total order). Arrow alone ranks NaN
+    after all non-NaN values either direction, so float columns lead with
+    an is_nan sort key (bools sort false < true) — a plain NaN->+inf value
+    key would TIE NaN with a real +inf row and could cut the NaN row the
+    global merge expects. Stable sort => deterministic tie resolution."""
+    if tbl.num_rows <= k:
+        return tbl
+    order = "descending" if descending else "ascending"
+    keys = [(order_col, order)]
+    drop = []
+    if ct in FLOAT_TYPES:
+        nan_key = "__pms_topk_nan"
+        tbl = tbl.append_column(nan_key, pc.is_nan(tbl.column(order_col)))
+        keys = [(nan_key, order), (order_col, order)]
+        drop = [nan_key]
+    idxs = pc.sort_indices(tbl, sort_keys=keys, null_placement="at_end")
+    tbl = tbl.take(idxs.slice(0, k))
+    return tbl.drop_columns(drop) if drop else tbl
 
 
 class _Rev:

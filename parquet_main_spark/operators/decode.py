@@ -1165,8 +1165,19 @@ def _tasks_df(spark: SparkSession, units: list[tuple], nparts: int,
     stage of pure fixed cost per scan (guide §2.4: remove shuffles
     outright; the task list is metadata, there is nothing to shuffle).
     Shared by every task-fan-out surface (scan, scan_many, scan_count,
-    pruning_report, the aggregate pushdowns, verify)."""
-    rdd = spark.sparkContext.parallelize(units, max(1, nparts))
+    pruning_report, the aggregate pushdowns, verify).
+
+    When units are PACKED (nparts < len(units)) the list is round-robin
+    interleaved first: parallelize slices CONTIGUOUSLY, and consecutive
+    units are correlated — the row-group ranges of one split giant file
+    are adjacent in the list, so contiguous slicing would hand one
+    partition several ranges of the same skewed file to decode serially
+    (exactly the skew the splitting exists to parallelize; the old
+    round-robin Exchange spread them for free)."""
+    nparts = max(1, nparts)
+    if nparts < len(units):
+        units = [u for p in range(nparts) for u in units[p::nparts]]
+    rdd = spark.sparkContext.parallelize(units, nparts)
     return spark.createDataFrame(rdd, schema)
 
 

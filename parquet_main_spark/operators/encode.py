@@ -1091,8 +1091,8 @@ def encode_table(spark: SparkSession, df: DataFrame, cfg: EncodeConfig,
         # Ordering matters on a FIFO scheduler: the stats job must hold
         # task slots before the encode REDUCE stage can fill every slot
         # with meta-waiting tasks, so the worker thread defers submission
-        # until the driver has entered the stats job (or 5 s pass — the
-        # _await_meta timeout is the loud backstop either way).
+        # until the driver has entered the stats job (deadline tied to the
+        # _await_meta timeout — see _run_encode).
         import threading
         import time as _time
 

@@ -484,6 +484,35 @@ def test_topk_decodes_few_blocks(spark, mixed, monkeypatch):
     assert all(rb is not None and len(rb) == 1 for rb in seen), seen
 
 
+def test_topk_nan_outranks_real_infinity(spark, tmp_path):
+    """Spark's float total order ranks NaN above EVERY value including
+    +inf; the per-file truncation must not tie them (a NaN->+inf value
+    key would, and the cut could drop the NaN row the merge expects)."""
+    vals = [float("inf"), float("nan"), 1.0, -float("inf"), None, 2.5,
+            float("nan"), 3.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id long, val double")
+    out = str(tmp_path / "naninf")
+    encode_table(spark, df, EncodeConfig(
+        out_dir=out, bucket_key="id", buckets=1, block_size=4,
+        snapshot_id="ni"))
+    for k in (1, 2, 3, 5):
+        for desc in (True, False):
+            got = agg.scan_topk(spark, out, "val", k,
+                                columns=["id", "val"],
+                                descending=desc).collect()
+            order = F.col("val").desc_nulls_last() if desc \
+                else F.col("val").asc_nulls_last()
+            want = df.orderBy(order).limit(k).collect()
+            def canon(rows):
+                return sorted(
+                    "None" if r["val"] is None
+                    else "nan" if math.isnan(r["val"])
+                    else repr(r["val"]) for r in rows)
+
+            assert canon(got) == canon(want), (k, desc, canon(got), canon(want))
+
+
 def test_topk_ships_at_most_k_rows_per_file(spark, mixed):
     """Per-file candidate truncation: even when the order column is
     scattered across every block (val = i % 997, so no block bound can be
